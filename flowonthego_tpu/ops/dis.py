@@ -1,0 +1,184 @@
+"""Dense Inverse Search patch optimizer — the hot loop, TPU-native.
+
+Replaces the reference's one-CUDA-block-per-patch persistent kernel
+(/root/reference/src/kernels/optimize.cu:97-243) with a batched
+Gauss-Newton iteration over the whole patch grid: every patch steps in
+lockstep inside a ``lax.fori_loop`` with a per-patch active mask.  On TPU,
+uniform work + masked updates beats divergence handling, and the trip
+count is statically bounded.
+
+Faithful semantics notes (vs optimize.cu / extract.cu):
+  * The GPU port sets min_iter == max_iter == grad_descent_iter, so the
+    4-clause convergence test (optimize.cu:225-233) only fires dynamically
+    through ``mares <= res_thresh`` (res_thresh = 0) or the outlier reset
+    (optimize.cu:66-88) — the loop is effectively fixed-trip.  We replicate
+    exactly that: ``gd_iter`` projection+resample trips, with an ``active``
+    mask tracking outlier-frozen patches.
+  * Iteration order matches the kernel: sample at the initial midpoint
+    first, then (project -> resample -> cost) x gd_iter; a patch that
+    trips the outlier check still resamples once at its reset midpoint
+    before freezing (the while-loop structure at optimize.cu:116-241).
+  * The outlier reset restores ``p_org`` (the coarser-scale init), marks
+    the patch converged, and keeps its final cost from the reset position.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DISConfig
+from .interp import sample_patches_bilinear
+from .patches import PatchGrid
+
+
+class PatchState(NamedTuple):
+    """Struct-of-arrays equivalent of dev_patch_state
+    (/root/reference/src/patch.h:15-36), shaped [n_h, n_w] (+ trailing dims).
+    """
+    p_cur: jax.Array       # [n_h, n_w, 2] current flow (u, v)
+    p_org: jax.Array       # [n_h, n_w, 2] init flow (outlier reset target)
+    mid_org: jax.Array     # [n_h, n_w, 2] grid midpoint (x, y)
+    H: jax.Array           # [n_h, n_w, 3] Hessian (H00, H01, H11)
+    templates: jax.Array   # [n_h, n_w, ps, ps, C] mean-normalized template
+    tgrad_x: jax.Array     # [n_h, n_w, ps, ps, C] template d/dx
+    tgrad_y: jax.Array     # [n_h, n_w, ps, ps, C] template d/dy
+    converged: jax.Array   # [n_h, n_w] bool
+    cost_px: jax.Array     # [n_h, n_w, ps, ps, C] final per-pixel sq. residual
+    diff: jax.Array        # [n_h, n_w, ps, ps, C] residual (target - template)
+
+    @property
+    def mid_cur(self) -> jax.Array:
+        return self.mid_org + self.p_cur
+
+
+def init_state(templates, tgrad_x, tgrad_y, H, grid: PatchGrid) -> PatchState:
+    """Fresh per-scale state (PatGridClass ctor init, patchgrid.cpp:124-147)."""
+    mx, my = grid.midpoints()
+    mid_org = jnp.stack([jnp.asarray(mx), jnp.asarray(my)], axis=-1)
+    zeros2 = jnp.zeros((grid.n_h, grid.n_w, 2), templates.dtype)
+    return PatchState(
+        p_cur=zeros2,
+        p_org=zeros2,
+        mid_org=mid_org.astype(templates.dtype),
+        H=H,
+        templates=templates,
+        tgrad_x=tgrad_x,
+        tgrad_y=tgrad_y,
+        converged=jnp.zeros((grid.n_h, grid.n_w), jnp.bool_),
+        cost_px=jnp.zeros_like(templates),
+        diff=jnp.zeros_like(templates),
+    )
+
+
+def init_from_coarser(state: PatchState, coarse_flow: jax.Array,
+                      grid: PatchGrid) -> PatchState:
+    """Warm-start from the coarser scale's dense flow.
+
+    Mirrors kernelInitCoarserOF (extract.cu:125-164): nearest lookup at
+    floor(midpoint / 2), flow scaled x2 — deliberately *not* bilinear.
+    Patches whose warm-started midpoint leaves the valid box are frozen
+    (converged) immediately with zero cost.
+
+    The midpoint grid is static, so the lookup compiles to a constant-index
+    gather of the [h/2, w/2, 2] coarse flow.
+    """
+    mx, my = grid.midpoints()
+    ix = (mx.astype(int) // 2).astype(int)
+    iy = (my.astype(int) // 2).astype(int)
+    p = coarse_flow[iy, ix, :] * 2.0  # [n_h, n_w, 2]
+
+    mid = state.mid_org + p
+    oob = ((mid[..., 0] < grid.l_bound) | (mid[..., 1] < grid.l_bound)
+           | (mid[..., 0] > grid.u_bound_w) | (mid[..., 1] > grid.u_bound_h))
+    return state._replace(p_cur=p, p_org=p, converged=oob)
+
+
+def _sample_residual(state: PatchState, I1_pad, grid: PatchGrid,
+                     cfg: DISConfig):
+    """Resample target patch at mid_cur, mean-normalize, subtract template.
+
+    Returns (diff, cost_px, cost) — optimize.cu:125-209.
+    """
+    mid = state.mid_cur
+    raw = sample_patches_bilinear(I1_pad, mid[..., 0], mid[..., 1],
+                                  grid.patch_size, grid.padding)
+    if cfg.use_mean_normalization:
+        raw = raw - raw.mean(axis=(2, 3, 4), keepdims=True)
+    diff = raw - state.templates
+    cost_px = diff * diff
+    cost = cost_px.sum(axis=(2, 3, 4))
+    return diff, cost_px, cost
+
+
+def _where(mask, a, b):
+    """Broadcast a [n_h, n_w] mask over trailing dims of a/b."""
+    extra = a.ndim - mask.ndim
+    return jnp.where(mask.reshape(mask.shape + (1,) * extra), a, b)
+
+
+def optimize(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
+             cfg: DISConfig) -> PatchState:
+    """Run the full inverse-search loop for every patch.
+
+    Equivalent of cu::interpolateAndComputeErr's in-kernel while loop
+    (optimize.cu:97-243) + calcProjection (optimize.cu:23-94).
+    """
+    n_vals = float(cfg.n_vals)
+    out_thresh = cfg.outlier_thresh
+
+    # --- initial resample at the warm-started midpoint (count == 0) ---
+    active0 = ~state.converged
+    diff, cost_px, cost = _sample_residual(state, I1_pad, grid, cfg)
+    diff = _where(active0, diff, state.diff)
+    cost_px = _where(active0, cost_px, state.cost_px)
+    mares = cost / n_vals
+    newly_done = active0 & (mares <= cfg.res_thresh)
+    state = state._replace(diff=diff, cost_px=cost_px,
+                           converged=state.converged | newly_done)
+
+    def body(_, st: PatchState) -> PatchState:
+        active = ~st.converged
+
+        # --- projection: delta_p = H^-1 J^T diff (calcProjection) ---
+        dpx = (st.tgrad_x * st.diff).sum(axis=(2, 3, 4))
+        dpy = (st.tgrad_y * st.diff).sum(axis=(2, 3, 4))
+        h00, h01, h11 = st.H[..., 0], st.H[..., 1], st.H[..., 2]
+        det = h00 * h11 - h01 * h01
+        delta_px = (h11 * dpx - h01 * dpy) / det
+        delta_py = (h00 * dpy - h01 * dpx) / det
+        delta = jnp.stack([delta_px, delta_py], axis=-1)
+
+        p_new = st.p_cur - delta
+        mid_new = st.mid_org + p_new
+
+        # Outlier / bounds check (optimize.cu:66-88): displacement beyond
+        # ps/2 or midpoint outside the valid box -> reset to p_org, freeze.
+        disp = mid_new - st.mid_org
+        norm = jnp.sqrt(disp[..., 0] ** 2 + disp[..., 1] ** 2)
+        outlier = ((norm > out_thresh)
+                   | (mid_new[..., 0] < grid.l_bound)
+                   | (mid_new[..., 1] < grid.l_bound)
+                   | (mid_new[..., 0] > grid.u_bound_w)
+                   | (mid_new[..., 1] > grid.u_bound_h))
+        p_new = _where(outlier, st.p_org, p_new)
+
+        p_cur = _where(active, p_new, st.p_cur)
+        st = st._replace(p_cur=p_cur)
+
+        # --- resample + cost at the updated midpoint ---
+        diff, cost_px, cost = _sample_residual(st, I1_pad, grid, cfg)
+        diff = _where(active, diff, st.diff)
+        cost_px = _where(active, cost_px, st.cost_px)
+        mares = cost / n_vals
+
+        # Convergence (optimize.cu:225-233): with min_iter == max_iter the
+        # only dynamic exits are the outlier reset and mares <= res_thresh.
+        done_now = active & (outlier | (mares <= cfg.res_thresh))
+        return st._replace(diff=diff, cost_px=cost_px,
+                           converged=st.converged | done_now)
+
+    state = jax.lax.fori_loop(0, cfg.grad_descent_iter, body, state)
+    return state._replace(converged=jnp.ones_like(state.converged))
