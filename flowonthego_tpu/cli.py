@@ -1,0 +1,101 @@
+"""Command-line driver: ``python -m flowonthego_tpu img1 img2 out.flo [...]``.
+
+Mirrors the reference CLI contract (/root/reference/src/run_dense.cpp:115-318):
+
+    flow img1 img2 out.flo                 # operating point 2
+    flow img1 img2 out.flo <op_point>      # 1..4
+    flow img1 img2 out.flo <coarsest> <finest> <gd_iter> <patch_size>
+         <patch_stride> <use_mean_norm> <use_var_ref> <alpha> <gamma>
+         <delta> <var_iter> <sor_omega> <verbosity>
+
+Output: Middlebury .flo at the input resolution.  ``--viz out.png``
+additionally writes the color-wheel visualization (tools/color_flow
+equivalent).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from .config import DISConfig, operating_point
+from .io.color import flow_to_color
+from .io.flo import write_flo
+from .io.images import load_image, save_image
+from .models.dis_flow import compute_flow
+from .utils.timing import warmup
+
+
+def _parse_args(argv):
+    viz = None
+    if "--viz" in argv:
+        i = argv.index("--viz")
+        viz = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+
+    if len(argv) < 3:
+        print(__doc__)
+        sys.exit(2)
+    img1, img2, out = argv[0], argv[1], argv[2]
+    rest = argv[3:]
+    return img1, img2, out, rest, viz
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    img1_path, img2_path, out_path, rest, viz = _parse_args(argv)
+
+    t0 = time.perf_counter()
+    I0 = load_image(img1_path)
+    I1 = load_image(img2_path)
+    width = I0.shape[1]
+
+    verbosity = 1
+    if len(rest) <= 1:
+        op_point = int(rest[0]) if rest else 2
+        cfg = operating_point(op_point, width=width)
+    else:
+        vals = rest
+        cfg = DISConfig(
+            coarsest_scale=int(vals[0]),
+            finest_scale=int(vals[1]),
+            grad_descent_iter=int(vals[2]),
+            patch_size=int(vals[3]),
+            patch_stride=float(vals[4]),
+            use_mean_normalization=bool(int(vals[5])),
+            use_var_ref=bool(int(vals[6])),
+            var_ref_alpha=float(vals[7]),
+            var_ref_gamma=float(vals[8]),
+            var_ref_delta=float(vals[9]),
+            var_ref_iter=int(vals[10]),
+            var_ref_sor_weight=float(vals[11]),
+        )
+        if len(vals) > 12:
+            verbosity = int(vals[12])
+
+    if verbosity > 1:
+        print(f"TIME (Image loading) (ms): "
+              f"{(time.perf_counter() - t0) * 1e3:.3g}")
+        print(f"config: {cfg}")
+
+    warmup()
+    t1 = time.perf_counter()
+    flow = np.asarray(compute_flow(I0, I1, cfg=cfg))
+    if verbosity > 0:
+        print(f"TIME (O.Flow Run-Time incl. compile) (ms): "
+              f"{(time.perf_counter() - t1) * 1e3:.3g}")
+
+    write_flo(out_path, flow)
+    if viz:
+        save_image(viz, flow_to_color(flow)[..., ::-1])  # color fn gives RGB
+    if verbosity > 0:
+        mag = np.sqrt((flow ** 2).sum(-1))
+        print(f"flow {flow.shape[1]}x{flow.shape[0]}  "
+              f"|flow| mean {mag.mean():.3f} max {mag.max():.3f}  -> {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -36,13 +36,19 @@ from ..ops.pyramid import build_pyramid
 
 
 def dis_flow_padded(I0: jax.Array, I1: jax.Array, cfg: DISConfig,
-                    init_flow: Optional[jax.Array] = None) -> jax.Array:
+                    init_flow: Optional[jax.Array] = None,
+                    level_offset: int = 0) -> jax.Array:
     """Run the DIS pipeline on divisibility-padded images.
 
     I0, I1: [H, W, C] float32 with H, W divisible by 2**coarsest_scale.
     init_flow: optional warm start at half the coarsest scale's resolution
     — i.e. shape [H/2^(cs+1), W/2^(cs+1), 2] — matching the ``initflow``
     semantics of OFClass::calc (oflow.cpp:268-271).
+
+    ``level_offset`` shifts the level index used for the variational
+    inner-iteration count (inner_iter = level + 1,
+    refine_variational.cpp:41) — used when a caller has pre-downsampled
+    the input so scale indices here differ from the true pyramid levels.
 
     Returns flow [H/2^fs, W/2^fs, 2] at the finest processed scale.
     """
@@ -77,7 +83,8 @@ def dis_flow_padded(I0: jax.Array, I1: jax.Array, cfg: DISConfig,
             p = cfg.padding
             im1 = lvl0.image[p:p + h_sl, p:p + w_sl, :]
             im2 = lvl1.image[p:p + h_sl, p:p + w_sl, :]
-            flow = var_mod.variational_refine(flow, im1, im2, cfg, sl)
+            flow = var_mod.variational_refine(flow, im1, im2, cfg,
+                                              sl + level_offset)
 
     return flow
 
