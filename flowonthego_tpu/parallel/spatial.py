@@ -79,10 +79,14 @@ def make_spatial_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int):
         return resize_rows_strip(flow_small * scale, scale, scale,
                                  row_start, h_local, W)
 
+    # check_vma=False: the replicated coarse stage mixes gathered (varying-
+    # typed) tensors with constant grid state inside lax.fori_loop carries;
+    # values are shard-identical by construction (verified by the
+    # sharded-vs-single equivalence test).
     sharded = shard_map(
         worker, mesh=mesh,
         in_specs=(P(SPACE_AXIS), P(SPACE_AXIS)),
-        out_specs=P(SPACE_AXIS))
+        out_specs=P(SPACE_AXIS), check_vma=False)
 
     return jax.jit(sharded)
 
