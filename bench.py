@@ -3,36 +3,48 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Headline: dense 4K optical flow, operating point 2, single chip —
-the reference achieves ~25 fps at 4K on a Jetson TX2
-(/root/reference/docs/index.md:173-175, BASELINE.md).
-Extras: 1024x436 fps (ref: 25 fps) and mean EPE vs the bundled
-reference flow on Sintel alley_1 frames 1-2.
+Methodology: per-frame device time is measured by chaining N dependent
+pipeline executions inside one jitted fori_loop and fetching a single
+scalar — this amortizes the host<->device tunnel round-trip (~25-35 ms on
+the axon link, far larger than the compute itself) exactly the way a
+streaming-video deployment would.  Latency (ms_*) is that per-frame time;
+fps_* = 1000 / ms.
+
+Baseline: the reference CUDA implementation runs 1024x448 and 4K at
+~40 ms/frame (25 fps) on a Jetson TX2 (/root/reference/docs/index.md:29-31,
+173-175; BASELINE.md).  Headline metric: 4K fps per chip, op point 2.
 """
 
 import json
 import sys
 import time
 
-import numpy as np
 
-
-def time_fn(fn, *args, iters=8, warmup=2):
+def chain_timer(step, args, n=8, trials=3):
     import jax
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(*a):
+        def body(i, acc):
+            out = step(*(x + acc * 1e-12 for x in a))
+            return acc + jnp.sum(out) * 1e-20
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    float(chained(*args))  # compile + warm
     times = []
-    for _ in range(iters):
+    for _ in range(trials):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
+        float(chained(*args))
+        times.append((time.perf_counter() - t0) / n)
     times.sort()
-    return times[len(times) // 2]
+    return times[len(times) // 2] * 1e3
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from flowonthego_tpu.config import operating_point, pad_to_divisible
     from flowonthego_tpu.models.dis_flow import (dis_flow_padded,
                                                  upsample_flow_to_full)
@@ -44,22 +56,20 @@ def main():
         def step(I0, I1):
             flow = dis_flow_padded(I0, I1, cfg)
             return upsample_flow_to_full(flow, cfg, H, W)
-        return jax.jit(step)
+        return step
 
     results = {}
+    rng = np.random.default_rng(0)
 
     # ---- 4K (3840x2160 padded to 3840x2176), op 2 ----
     H4, W4 = 2176, 3840
     cfg4 = operating_point(2, width=W4)
-    rng = np.random.default_rng(0)
     base = rng.random((H4 + 8, W4 + 8, 3), np.float32) * 255.0
-    I0 = jnp.asarray(base[:H4, :W4])
-    I1 = jnp.asarray(base[4:4 + H4, 3:3 + W4])
-    step4 = make_step(H4, W4, cfg4)
-    t4 = time_fn(step4, I0, I1)
-    results["fps_4k"] = 1.0 / t4
-    results["ms_4k"] = t4 * 1e3
-    del I0, I1
+    I0 = jax.device_put(np.ascontiguousarray(base[:H4, :W4]))
+    I1 = jax.device_put(np.ascontiguousarray(base[4:4 + H4, 3:3 + W4]))
+    results["ms_4k"] = chain_timer(make_step(H4, W4, cfg4), (I0, I1))
+    results["fps_4k"] = 1000.0 / results["ms_4k"]
+    del I0, I1, base
 
     # ---- 1024x436 Sintel (padded 1024x448), op 2 + EPE ----
     A = load_image("/root/reference/images/alley_1/frame_0001.png")
@@ -72,11 +82,10 @@ def main():
     H1, W1 = Ap.shape[:2]
     step1 = make_step(H1, W1, cfg1)
     I0s, I1s = jnp.asarray(Ap), jnp.asarray(Bp)
-    t1 = time_fn(step1, I0s, I1s)
-    results["fps_1024x436"] = 1.0 / t1
-    results["ms_1024x436"] = t1 * 1e3
+    results["ms_1024x436"] = chain_timer(step1, (I0s, I1s))
+    results["fps_1024x436"] = 1000.0 / results["ms_1024x436"]
 
-    flow = np.asarray(step1(I0s, I1s))[pt:pt + h, pl:pl + w]
+    flow = np.asarray(jax.jit(step1)(I0s, I1s))[pt:pt + h, pl:pl + w]
     ref = read_flo("/root/reference/kroeger/flows/alley_0001.flo")
     results["epe_vs_ref_alley1"] = average_epe(flow, ref)
 

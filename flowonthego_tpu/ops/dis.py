@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import DISConfig
-from .interp import sample_patches_bilinear
+from .interp import blend_windows, gather_windows, sample_patches_bilinear
 from .patches import PatchGrid
 
 
@@ -119,9 +119,11 @@ def _where(mask, a, b):
     return jnp.where(mask.reshape(mask.shape + (1,) * extra), a, b)
 
 
-def optimize(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
-             cfg: DISConfig) -> PatchState:
-    """Run the full inverse-search loop for every patch.
+def optimize_reference(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
+                       cfg: DISConfig) -> PatchState:
+    """Direct transcription of the reference loop (materializes the
+    normalized residual tensor every iteration).  Kept as the behavior
+    oracle for :func:`optimize`, and used when ``res_thresh > 0``.
 
     Equivalent of cu::interpolateAndComputeErr's in-kernel while loop
     (optimize.cu:97-243) + calcProjection (optimize.cu:23-94).
@@ -182,3 +184,97 @@ def optimize(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
 
     state = jax.lax.fori_loop(0, cfg.grad_descent_iter, body, state)
     return state._replace(converged=jnp.ones_like(state.converged))
+
+
+def optimize(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
+             cfg: DISConfig) -> PatchState:
+    """Fast inverse-search loop: reduction-form Gauss-Newton.
+
+    Mathematically equivalent to :func:`optimize_reference` (the CUDA
+    kernel's semantics) but restructured for TPU bandwidth: each
+    iteration touches only the gathered (ps+1)^2 windows once.  The key
+    identities, with S the mean-UNnormalized bilinear sample, m = sum(S)/N,
+    T the mean-normalized template (sum(T) = 0), diff = (S - m) - T:
+
+        J^T diff:  sum(g.diff) = sum(g.S) - m*sum(g) - sum(g.T)
+
+    so the projection needs only the four linear reductions
+    [sum(S), sum(T.S), sum(gx.S), sum(gy.S)] — computed as ONE batched
+    matvec against a static per-scale weight stack — plus static
+    per-patch constants.  No residual tensor is materialized until the
+    final per-pixel cost for densification.
+
+    The reference's ``mares <= res_thresh`` early exit is dropped when
+    res_thresh == 0 (the default): zero residual implies a zero
+    Gauss-Newton step, so continuing to iterate is a fixed point and the
+    final state is identical.  For res_thresh > 0 we defer to the
+    reference-form loop.
+    """
+    if cfg.res_thresh > 0.0:
+        return optimize_reference(state, I1_pad, grid, cfg)
+
+    ps = grid.patch_size
+    n_h, n_w = state.converged.shape
+    C = state.templates.shape[-1]
+    N = ps * ps * C
+    dtype = state.templates.dtype
+
+    # Static per-patch weight stack [n_h, n_w, 4, N] and constants.
+    ones = jnp.ones_like(state.templates)
+    W4 = jnp.stack([ones, state.templates, state.tgrad_x, state.tgrad_y],
+                   axis=-1).reshape(n_h, n_w, N, 4)
+    gx_sum = state.tgrad_x.sum(axis=(2, 3, 4))
+    gy_sum = state.tgrad_y.sum(axis=(2, 3, 4))
+    gxT = (state.tgrad_x * state.templates).sum(axis=(2, 3, 4))
+    gyT = (state.tgrad_y * state.templates).sum(axis=(2, 3, 4))
+    h00, h01, h11 = state.H[..., 0], state.H[..., 1], state.H[..., 2]
+    det = h00 * h11 - h01 * h01
+    mean_on = 1.0 if cfg.use_mean_normalization else 0.0
+
+    started = ~state.converged    # patches frozen at warm-start never sample
+
+    def reductions(p_cur):
+        """[sum S, sum T.S, sum gx.S, sum gy.S] at midpoint mid_org + p."""
+        mid = state.mid_org + p_cur
+        win, rx, ry = gather_windows(I1_pad, mid[..., 0], mid[..., 1],
+                                     ps, grid.padding)
+        S = blend_windows(win, rx, ry).reshape(n_h, n_w, N)
+        # one pass: batched matvec against the static weight stack
+        return jnp.einsum("hwk,hwki->hwi", S, W4,
+                          preferred_element_type=jnp.float32).astype(dtype)
+
+    def gn_step(p_cur, active):
+        red = reductions(p_cur)
+        m = red[..., 0] / N * mean_on
+        dpx = red[..., 2] - m * gx_sum - gxT
+        dpy = red[..., 3] - m * gy_sum - gyT
+        delta_px = (h11 * dpx - h01 * dpy) / det
+        delta_py = (h00 * dpy - h01 * dpx) / det
+        p_new = p_cur - jnp.stack([delta_px, delta_py], axis=-1)
+        mid_new = state.mid_org + p_new
+        disp = mid_new - state.mid_org
+        norm = jnp.sqrt(disp[..., 0] ** 2 + disp[..., 1] ** 2)
+        outlier = ((norm > cfg.outlier_thresh)
+                   | (mid_new[..., 0] < grid.l_bound)
+                   | (mid_new[..., 1] < grid.l_bound)
+                   | (mid_new[..., 0] > grid.u_bound_w)
+                   | (mid_new[..., 1] > grid.u_bound_h))
+        p_new = _where(outlier, state.p_org, p_new)
+        p_cur = _where(active, p_new, p_cur)
+        return p_cur, active & ~outlier
+
+    def body(_, carry):
+        return gn_step(*carry)
+
+    p_cur, _ = jax.lax.fori_loop(0, cfg.grad_descent_iter, body,
+                                 (state.p_cur, started))
+
+    # Final per-pixel cost at the final midpoint (reference computes it in
+    # its last resample, optimize.cu:193-208); frozen-at-init patches keep
+    # zero cost, matching the never-sampled ctor state.
+    st = state._replace(p_cur=p_cur)
+    diff, cost_px, _ = _sample_residual(st, I1_pad, grid, cfg)
+    cost_px = _where(started, cost_px, jnp.zeros_like(cost_px))
+    diff = _where(started, diff, jnp.zeros_like(diff))
+    return st._replace(diff=diff, cost_px=cost_px,
+                       converged=jnp.ones_like(state.converged))
