@@ -58,8 +58,8 @@ def dis_flow_padded(I0: jax.Array, I1: jax.Array, cfg: DISConfig,
         raise ValueError(f"image {H}x{W} not divisible by 2^{cfg.coarsest_scale}")
 
     n_levels = cfg.coarsest_scale + 1
-    pyr0 = build_pyramid(I0, n_levels, cfg.padding)
-    pyr1 = build_pyramid(I1, n_levels, cfg.padding)
+    pyr0 = build_pyramid(I0, n_levels, cfg.padding, start_level=cfg.finest_scale)
+    pyr1 = build_pyramid(I1, n_levels, cfg.padding, start_level=cfg.finest_scale)
 
     flow = None
     for sl in range(cfg.coarsest_scale, cfg.finest_scale - 1, -1):
@@ -100,7 +100,8 @@ def upsample_flow_to_full(flow: jax.Array, cfg: DISConfig,
     s = float(2 ** cfg.finest_scale)
     if cfg.finest_scale == 0:
         return flow
-    return jax.image.resize(flow * s, (out_h, out_w, 2), method="linear")
+    from ..ops.resize import resize_matmul
+    return resize_matmul(flow * s, out_h, out_w)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "orig_h", "orig_w",

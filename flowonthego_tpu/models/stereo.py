@@ -82,8 +82,8 @@ def stereo_disparity_padded(I_left: jax.Array, I_right: jax.Array,
     """
     H, W = I_left.shape[0], I_left.shape[1]
     n_levels = cfg.coarsest_scale + 1
-    pyr0 = build_pyramid(I_left, n_levels, cfg.padding)
-    pyr1 = build_pyramid(I_right, n_levels, cfg.padding)
+    pyr0 = build_pyramid(I_left, n_levels, cfg.padding, start_level=cfg.finest_scale)
+    pyr1 = build_pyramid(I_right, n_levels, cfg.padding, start_level=cfg.finest_scale)
 
     flow = None
     for sl in range(cfg.coarsest_scale, cfg.finest_scale - 1, -1):
