@@ -11,10 +11,15 @@ Mirrors the reference CLI contract (/root/reference/src/run_dense.cpp:115-318):
 Output: Middlebury .flo at the input resolution.  ``--viz out.png``
 additionally writes the color-wheel visualization (tools/color_flow
 equivalent).
+
+``--mode depth`` switches to 1-D stereo disparity (the reference CPU
+baseline's run_DE_* SELECTMODE=2 variant) and writes a PFM file
+(img1 = left, img2 = right; pass ``--cam 1`` for the mirrored pair).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -28,29 +33,51 @@ from .models.dis_flow import compute_flow
 from .utils.timing import warmup
 
 
+def _pop_flag(argv, name, has_value=True, default=None):
+    if name not in argv:
+        return argv, default
+    i = argv.index(name)
+    if has_value:
+        value = argv[i + 1]
+        return argv[:i] + argv[i + 2:], value
+    return argv[:i] + argv[i + 1:], True
+
+
 def _parse_args(argv):
-    viz = None
-    if "--viz" in argv:
-        i = argv.index("--viz")
-        viz = argv[i + 1]
-        argv = argv[:i] + argv[i + 2:]
+    argv, viz = _pop_flag(argv, "--viz")
+    argv, mode = _pop_flag(argv, "--mode", default="flow")
+    argv, cam = _pop_flag(argv, "--cam", default="0")
+    argv, channels = _pop_flag(argv, "--channels", default="rgb")
 
     if len(argv) < 3:
         print(__doc__)
         sys.exit(2)
     img1, img2, out = argv[0], argv[1], argv[2]
     rest = argv[3:]
-    return img1, img2, out, rest, viz
+    return img1, img2, out, rest, viz, mode, int(cam), channels
 
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    img1_path, img2_path, out_path, rest, viz = _parse_args(argv)
+    (img1_path, img2_path, out_path, rest, viz, mode, cam,
+     channels) = _parse_args(argv)
+
+    # Persistent compile cache: repeat CLI invocations skip XLA compiles.
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("FOT_CACHE_DIR", "/tmp/fot_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     t0 = time.perf_counter()
     I0 = load_image(img1_path)
     I1 = load_image(img2_path)
     width = I0.shape[1]
+    if channels != "rgb":
+        import numpy as _np
+        from .ops.channels import prepare_input
+        I0 = _np.asarray(prepare_input(I0, channels))
+        I1 = _np.asarray(prepare_input(I1, channels))
 
     verbosity = 1
     if len(rest) <= 1:
@@ -82,6 +109,18 @@ def main(argv=None):
 
     warmup()
     t1 = time.perf_counter()
+    if mode == "depth":
+        import dataclasses
+        from .io.pfm import write_pfm
+        from .models.stereo import compute_disparity
+        cfg_d = dataclasses.replace(cfg, use_var_ref=False)
+        disp = np.asarray(compute_disparity(I0, I1, cfg=cfg_d, cam_lr=cam))
+        if verbosity > 0:
+            print(f"TIME (Depth Run-Time incl. compile) (ms): "
+                  f"{(time.perf_counter() - t1) * 1e3:.3g}")
+        write_pfm(out_path, disp)
+        print(f"disparity {disp.shape[1]}x{disp.shape[0]} -> {out_path}")
+        return 0
     flow = np.asarray(compute_flow(I0, I1, cfg=cfg))
     if verbosity > 0:
         print(f"TIME (O.Flow Run-Time incl. compile) (ms): "

@@ -68,6 +68,16 @@ class DISConfig:
     # is an experimental fast path for the interpolation gathers).
     dtype: str = "float32"
 
+    # Variational-refinement backend: "xla" (stencil ops) or "pallas"
+    # (ops/pallas/varref_fused — whole inner loop in one kernel).
+    varref_backend: str = "xla"
+
+    # Forward-backward consistency: optimize a complementary I1->I0 grid
+    # and merge its reversed flow during densification (the CPU
+    # reference's ``usefbcon``, kroeger/oflow.cpp:162-170; off in all of
+    # the reference's published benchmarks).
+    use_fb_consistency: bool = False
+
     def __post_init__(self):
         if self.patch_size % 2 != 0:
             raise ValueError("patch_size must be even")

@@ -61,30 +61,54 @@ def dis_flow_padded(I0: jax.Array, I1: jax.Array, cfg: DISConfig,
     pyr0 = build_pyramid(I0, n_levels, cfg.padding, start_level=cfg.finest_scale)
     pyr1 = build_pyramid(I1, n_levels, cfg.padding, start_level=cfg.finest_scale)
 
+    def refine(flow, im1, im2, level):
+        if cfg.varref_backend == "pallas":
+            from ..ops.pallas.varref_fused import variational_refine_fused
+            return variational_refine_fused(flow, im1, im2, cfg, level)
+        return var_mod.variational_refine(flow, im1, im2, cfg, level)
+
+    def make_state(lvl, grid, prev_flow, warm):
+        templates, gx, gy, Hs = extract_templates_and_hessians(
+            lvl.image, lvl.grad_x, lvl.grad_y, grid, cfg)
+        state = dis_mod.init_state(templates, gx, gy, Hs, grid)
+        if prev_flow is not None:
+            state = dis_mod.init_from_coarser(state, prev_flow, grid)
+        elif warm is not None:
+            state = dis_mod.init_from_coarser(state, warm, grid)
+        return state
+
     flow = None
+    flow_bw = None
     for sl in range(cfg.coarsest_scale, cfg.finest_scale - 1, -1):
         w_sl, h_sl = W >> sl, H >> sl
         grid = PatchGrid.create(cfg, w_sl, h_sl)
         lvl0, lvl1 = pyr0[sl], pyr1[sl]
 
-        templates, gx, gy, Hs = extract_templates_and_hessians(
-            lvl0.image, lvl0.grad_x, lvl0.grad_y, grid, cfg)
-        state = dis_mod.init_state(templates, gx, gy, Hs, grid)
-
-        if flow is not None:
-            state = dis_mod.init_from_coarser(state, flow, grid)
-        elif init_flow is not None:
-            state = dis_mod.init_from_coarser(state, init_flow, grid)
-
+        state = make_state(lvl0, grid, flow, init_flow)
         state = dis_mod.optimize(state, lvl1.image, grid, cfg)
-        flow = densify_mod.densify(state, grid, cfg)
 
+        # Forward-backward consistency (kroeger/oflow.cpp:190-296): the
+        # complementary I1->I0 grid is optimized alongside and the two
+        # densifications merge each other's reversed flow; the backward
+        # chain is skipped at the finest scale where it is no longer
+        # needed as a warm start.
+        state_bw = None
+        if cfg.use_fb_consistency:
+            state_bw = make_state(lvl1, grid, flow_bw, None)
+            state_bw = dis_mod.optimize(state_bw, lvl0.image, grid, cfg)
+
+        flow = densify_mod.densify(state, grid, cfg, compl_state=state_bw)
+        if state_bw is not None and sl > cfg.finest_scale:
+            flow_bw = densify_mod.densify(state_bw, grid, cfg,
+                                          compl_state=state)
+
+        p = cfg.padding
+        im1 = lvl0.image[p:p + h_sl, p:p + w_sl, :]
+        im2 = lvl1.image[p:p + h_sl, p:p + w_sl, :]
         if cfg.use_var_ref:
-            p = cfg.padding
-            im1 = lvl0.image[p:p + h_sl, p:p + w_sl, :]
-            im2 = lvl1.image[p:p + h_sl, p:p + w_sl, :]
-            flow = var_mod.variational_refine(flow, im1, im2, cfg,
-                                              sl + level_offset)
+            flow = refine(flow, im1, im2, sl + level_offset)
+            if state_bw is not None and sl > cfg.finest_scale:
+                flow_bw = refine(flow_bw, im2, im1, sl + level_offset)
 
     return flow
 

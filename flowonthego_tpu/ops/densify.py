@@ -28,8 +28,70 @@ from .dis import PatchState
 from .patches import PatchGrid
 
 
-def densify(state: PatchState, grid: PatchGrid, cfg: DISConfig) -> jax.Array:
-    """Aggregate per-patch flow into a dense [H, W, 2] field."""
+def _pixel_weights(state: PatchState, cfg: DISConfig) -> jax.Array:
+    """absw = 1 / sum_c max(min_errval, cost_px[c])  (densify.cu:75-78)."""
+    clamped = jnp.maximum(state.cost_px, cfg.min_errval)
+    return 1.0 / clamped.sum(axis=-1)
+
+
+def _fb_merge_scatter(state: PatchState, grid: PatchGrid, cfg: DISConfig,
+                      out_h: int, out_w: int) -> jax.Array:
+    """Complementary-grid merge: scatter the *reversed* backward flow.
+
+    Equivalent of the ``cg`` branch of kroeger's AggregateFlowDense
+    (kroeger/patchgrid.cpp:277-375): each complementary patch lands at its
+    optimized position ``rppos = mid_org + p_cur`` (coordinates of the
+    other frame); its per-pixel weights are spread bilinearly over the 4
+    neighbor cells of rppos and its NEGATED flow is accumulated.  Pixels
+    are kept only where all 4 cells lie inside [1, w-1) x [1, h-1).
+
+    The positions are dynamic, so this is a genuine scatter-add — XLA's
+    deterministic scatter replaces the reference's racy OpenMP loop.
+    Returns a [out_h, out_w, 3] (weight, u, v) accumulator.
+    """
+    ps = grid.patch_size
+    pos = state.mid_org + state.p_cur                 # [n_h, n_w, 2]
+    px = pos[..., 0]
+    py = pos[..., 1]
+    cx = jnp.ceil(px + 1e-5).astype(jnp.int32)        # pos[0]
+    cy = jnp.ceil(py + 1e-5).astype(jnp.int32)
+    fx = jnp.floor(px)
+    fy = jnp.floor(py)
+    rx = (px - fx)[..., None, None]
+    ry = (py - fy)[..., None, None]
+    wbil = [rx * ry, (1 - rx) * ry, rx * (1 - ry), (1 - rx) * (1 - ry)]
+    corner_off = [(0, 0), (1, 0), (0, 1), (1, 1)]      # (dx, dy) subtracted
+
+    absw = _pixel_weights(state, cfg)                 # [n_h, n_w, ps, ps]
+    u = state.p_cur[..., 0][..., None, None]
+    v = state.p_cur[..., 1][..., None, None]
+
+    lb = -ps // 2
+    dx = jnp.arange(lb, lb + ps, dtype=jnp.int32)[None, :]
+    dy = jnp.arange(lb, lb + ps, dtype=jnp.int32)[:, None]
+    xt = cx[..., None, None] + dx                     # [n_h, n_w, ps, ps]
+    yt = cy[..., None, None] + dy
+    valid = (xt >= 1) & (yt >= 1) & (xt < out_w - 1) & (yt < out_h - 1)
+
+    acc = jnp.zeros((out_h * out_w, 3), absw.dtype)
+    base = jnp.stack([absw, -u * absw, -v * absw], axis=-1)  # [...,3]
+    for (ox, oy), wb in zip(corner_off, wbil):
+        idx = ((yt - oy) * out_w + (xt - ox)).reshape(-1)
+        vals = jnp.where(valid[..., None], wb[..., None] * base, 0.0)
+        vals = vals.reshape(-1, 3)
+        idx = jnp.where(valid.reshape(-1), idx, out_h * out_w)  # dropped
+        acc = acc.at[idx].add(vals, mode="drop")
+    return acc.reshape(out_h, out_w, 3)
+
+
+def densify(state: PatchState, grid: PatchGrid, cfg: DISConfig,
+            compl_state: PatchState | None = None) -> jax.Array:
+    """Aggregate per-patch flow into a dense [H, W, 2] field.
+
+    ``compl_state`` optionally merges a complementary (opposite-direction)
+    grid's reversed flow — forward/backward consistency
+    (kroeger/oflow.cpp usefbcon wiring).
+    """
     ps, st = grid.patch_size, grid.steps
     n_h, n_w, h, w = grid.n_h, grid.n_w, grid.height, grid.width
     r = -(-ps // st)          # patches r apart in grid never overlap
@@ -37,8 +99,7 @@ def densify(state: PatchState, grid: PatchGrid, cfg: DISConfig) -> jax.Array:
     margin = ps + R           # generous static margin, cropped at the end
 
     # Per-pixel contributions: [n_h, n_w, ps, ps, 3] = (absw, absw*u, absw*v)
-    clamped = jnp.maximum(state.cost_px, cfg.min_errval)
-    absw = 1.0 / clamped.sum(axis=-1)                     # [n_h, n_w, ps, ps]
+    absw = _pixel_weights(state, cfg)                     # [n_h, n_w, ps, ps]
     u = state.p_cur[..., 0][..., None, None]
     v = state.p_cur[..., 1][..., None, None]
     contrib = jnp.stack([absw, absw * u, absw * v], axis=-1)
@@ -61,6 +122,8 @@ def densify(state: PatchState, grid: PatchGrid, cfg: DISConfig) -> jax.Array:
             acc = acc.at[top:top + g_h * R, left:left + g_w * R, :].add(canvas)
 
     acc = acc[margin:margin + h, margin:margin + w, :]
+    if compl_state is not None:
+        acc = acc + _fb_merge_scatter(compl_state, grid, cfg, h, w)
     weight = acc[..., 0:1]
     flow = jnp.where(weight > 0, acc[..., 1:3] / weight, 0.0)
     return flow

@@ -6,15 +6,32 @@ logic is tested without a pod.  Must run before jax is imported.
 """
 
 import os
+import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # override the shell's axon/TPU default
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# The axon TPU plugin reads the platform env vars at interpreter startup
+# (site hook), so mutating os.environ here is too late — re-exec pytest
+# once with the right environment instead.
+if os.environ.get("_FOT_TEST_REEXEC") != "1":
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    env["_FOT_TEST_REEXEC"] = "1"
+    os.execve(sys.executable,
+              [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
+import jax
 import numpy as np
 import pytest
+
+# Persistent compilation cache: the suite is compile-bound (every test jits
+# real pipelines); warm re-runs drop from ~10 min to seconds.
+jax.config.update("jax_compilation_cache_dir", "/tmp/fot_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 @pytest.fixture(scope="session")
