@@ -42,9 +42,15 @@ def chain_timer(step, args, n=8, trials=3):
 
 
 def main():
+    import os
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("FOT_CACHE_DIR", "/tmp/fot_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     from flowonthego_tpu.config import operating_point, pad_to_divisible
     from flowonthego_tpu.models.dis_flow import (dis_flow_padded,
                                                  upsample_flow_to_full)
