@@ -97,12 +97,18 @@ def init_from_coarser(state: PatchState, coarse_flow: jax.Array,
 
 
 def _sample_residual(state: PatchState, I1_pad, grid: PatchGrid,
-                     cfg: DISConfig):
+                     cfg: DISConfig, sample_offset=None):
     """Resample target patch at mid_cur, mean-normalize, subtract template.
+
+    ``sample_offset`` (optional [2] integer offset, may be traced) maps
+    global midpoints into the coordinate frame of ``I1_pad`` — used by the
+    row-sharded path where I1_pad is a local strip.
 
     Returns (diff, cost_px, cost) — optimize.cu:125-209.
     """
     mid = state.mid_cur
+    if sample_offset is not None:
+        mid = mid + sample_offset
     raw = sample_patches_bilinear(I1_pad, mid[..., 0], mid[..., 1],
                                   grid.patch_size, grid.padding)
     if cfg.use_mean_normalization:
@@ -187,7 +193,7 @@ def optimize_reference(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
 
 
 def optimize(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
-             cfg: DISConfig) -> PatchState:
+             cfg: DISConfig, sample_offset=None) -> PatchState:
     """Fast inverse-search loop: reduction-form Gauss-Newton.
 
     Mathematically equivalent to :func:`optimize_reference` (the CUDA
@@ -236,6 +242,8 @@ def optimize(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
     def reductions(p_cur):
         """[sum S, sum T.S, sum gx.S, sum gy.S] at midpoint mid_org + p."""
         mid = state.mid_org + p_cur
+        if sample_offset is not None:
+            mid = mid + sample_offset
         win, rx, ry = gather_windows(I1_pad, mid[..., 0], mid[..., 1],
                                      ps, grid.padding)
         S = blend_windows(win, rx, ry).reshape(n_h, n_w, N)
@@ -273,7 +281,7 @@ def optimize(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
     # its last resample, optimize.cu:193-208); frozen-at-init patches keep
     # zero cost, matching the never-sampled ctor state.
     st = state._replace(p_cur=p_cur)
-    diff, cost_px, _ = _sample_residual(st, I1_pad, grid, cfg)
+    diff, cost_px, _ = _sample_residual(st, I1_pad, grid, cfg, sample_offset)
     cost_px = _where(started, cost_px, jnp.zeros_like(cost_px))
     diff = _where(started, diff, jnp.zeros_like(diff))
     return st._replace(diff=diff, cost_px=cost_px,

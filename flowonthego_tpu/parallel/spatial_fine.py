@@ -1,0 +1,342 @@
+"""Row-sharded DIS with halo exchange — fine scales computed in place.
+
+Extends parallel/spatial.py (which replicates all DIS scales after one
+all_gather) to genuinely shard the patch machinery of the *fine* scales
+across the 'space' axis, per SURVEY.md §2.4's halo accounting:
+
+  * template extraction needs ps/2 rows beyond the strip  -> edge halo;
+  * target sampling needs the patch displacement bound — the outlier
+    reset caps |p| at ps/2 at the scale it runs, and a warm start doubles
+    the coarser bound, so B(sl) = ps/2 * 2^(coarsest - sl) — plus ps/2+1
+    interpolation rows -> I1 halo;
+  * densification writes up to ps/2 rows across the boundary -> margin
+    rows folded into the neighbor with a ppermute scatter-accumulate.
+
+A scale is sharded when its strip is tall enough for those halos
+(fine scales — where the work is); coarser scales fall back to the
+replicated path (one small all_gather), matching the replicate-coarse /
+shard-fine design.  Variational refinement runs on gathered fields
+(sharding its per-sweep SOR halos is round-2 work); the refined flow is
+re-sliced to strips for the next scale.
+
+Every step is bit-compatible with the unsharded pipeline — asserted by
+the sharded == single-device equivalence tests on the fake CPU mesh.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..config import DISConfig
+from ..ops import densify as densify_mod
+from ..ops import dis as dis_mod
+from ..ops import variational as var_mod
+from ..ops.patches import PatchGrid
+from ..ops.pyramid import central_diff, downsample_half
+from ..ops.resize import resize_rows_strip
+from .halo import exchange_accumulate_rows, exchange_rows
+from .mesh import SPACE_AXIS
+
+
+def displacement_bound(cfg: DISConfig, sl: int) -> float:
+    """Max |p| at scale sl (outlier threshold doubled per warm start)."""
+    return cfg.outlier_thresh * (2.0 ** (cfg.coarsest_scale - sl))
+
+
+def _strip_grid(cfg: DISConfig, grid: PatchGrid, hl: int, n_shards: int):
+    """Per-shard patch-row layout: uniform local slot count + per-shard
+    start row (numpy, static).  Slot k of shard i is global patch row
+    (start[i] + k); slots past the shard's range are masked invalid."""
+    st = grid.steps
+    starts = []
+    counts = []
+    for i in range(n_shards):
+        lo, hi = i * hl, (i + 1) * hl
+        j0 = max(0, math.ceil((lo - grid.offset_h) / st))
+        j1 = min(grid.n_h, math.ceil((hi - grid.offset_h) / st))
+        starts.append(j0)
+        counts.append(max(0, j1 - j0))
+    n_loc = max(counts)
+    return np.asarray(starts, np.int32), np.asarray(counts, np.int32), n_loc
+
+
+def _extract_strip(img_halo, gx_halo, gy_halo, grid: PatchGrid, cfg,
+                   row0_local, n_loc: int):
+    """Templates/grads/Hessian for ``n_loc`` local patch rows.
+
+    ``*_halo``: [hl + 2*pad, W + 2*pad, C] strip with pad = cfg.padding of
+    row halo and static column padding.  ``row0_local`` (traced): image row
+    (strip-local, unpadded coords) of the first local patch row's midpoint.
+    """
+    ps, st = grid.patch_size, grid.steps
+    C = img_halo.shape[2]
+    pad = cfg.padding
+    rows = (n_loc - 1) * st + ps
+    top = row0_local + pad - ps // 2
+    left = grid.offset_w + pad - ps // 2
+    cols = (grid.n_w - 1) * st + ps
+
+    def region(x):
+        return lax.dynamic_slice(x, (top, left, 0), (rows, cols, C))
+
+    def windows(x):
+        r = region(x)
+        shifted = [r[a:a + (n_loc - 1) * st + 1:st,
+                     b:b + (grid.n_w - 1) * st + 1:st, :]
+                   for a in range(ps) for b in range(ps)]
+        return jnp.stack(shifted, axis=2).reshape(n_loc, grid.n_w, ps, ps, C)
+
+    templates = windows(img_halo)
+    gx = windows(gx_halo)
+    gy = windows(gy_halo)
+    if cfg.use_mean_normalization:
+        templates = templates - templates.mean(axis=(2, 3, 4), keepdims=True)
+    h00 = (gx * gx).sum(axis=(2, 3, 4))
+    h01 = (gx * gy).sum(axis=(2, 3, 4))
+    h11 = (gy * gy).sum(axis=(2, 3, 4))
+    det = h00 * h11 - h01 * h01
+    bump = jnp.where(det == 0.0, 1e-10, 0.0).astype(h00.dtype)
+    H = jnp.stack([h00 + bump, h01, h11 + bump], axis=-1)
+    return templates, gx, gy, H
+
+
+def _densify_strip(state: dis_mod.PatchState, grid: PatchGrid, cfg,
+                   hl: int, base_row, axis: str, valid=None) -> jax.Array:
+    """Overlap-add densification of local patch rows into the [hl, W, 2]
+    strip; boundary contributions folded into neighbors via ppermute.
+
+    ``base_row``: strip-local image row of the first local patch row's
+    midpoint (traced).  The parity overlap-add runs with static offsets in
+    canvas coordinates; the canvas lands at the dynamic base offset with
+    one dynamic_update_slice.
+    """
+    ps, st = grid.patch_size, grid.steps
+    n_loc, n_w = state.converged.shape
+    w = grid.width
+    r = -(-ps // st)
+    R = r * st
+    margin = ps + R
+
+    absw = densify_mod._pixel_weights(state, cfg)
+    if valid is not None:
+        # dummy padding slots (uniform local patch count) contribute nothing
+        absw = jnp.where(valid[:, None, None, None], absw, 0.0)
+    u = state.p_cur[..., 0][..., None, None]
+    v = state.p_cur[..., 1][..., None, None]
+    contrib = jnp.stack([absw, absw * u, absw * v], axis=-1)
+
+    rows_canvas = (max(-(-n_loc // r), 1)) * R + R
+    acc = jnp.zeros((hl + 2 * margin + rows_canvas, w + 2 * margin, 3),
+                    contrib.dtype)
+    for a in range(r):
+        for b in range(r):
+            blocks = contrib[a::r, b::r]
+            g_h, g_w = blocks.shape[0], blocks.shape[1]
+            if g_h == 0 or g_w == 0:
+                continue
+            blocks = jnp.pad(blocks, ((0, 0), (0, 0), (0, R - ps),
+                                      (0, R - ps), (0, 0)))
+            canvas = blocks.transpose(0, 2, 1, 3, 4).reshape(
+                g_h * R, g_w * R, 3)
+            # canvas row 0 = patch slot `a`'s top = base_row + a*st - ps/2
+            top = base_row + a * st - ps // 2 + margin
+            left = margin + grid.offset_w - ps // 2 + b * st
+            placed = lax.dynamic_update_slice(
+                jnp.zeros_like(acc), canvas, (top, left, 0))
+            acc = acc + placed
+    # crop the static canvas overhang, keep [hl + 2*margin] rows
+    acc = acc[:hl + 2 * margin]
+    acc = exchange_accumulate_rows(acc, margin, axis)
+    acc = acc[:, margin:margin + w, :]
+    weight = acc[..., 0:1]
+    return jnp.where(weight > 0, acc[..., 1:3] / weight, 0.0)
+
+
+def sharded_scale_levels(cfg: DISConfig, H: int, n_space: int,
+                         min_rows_factor: float = 1.0):
+    """Which scales can run sharded: strip height must cover the target-
+    sampling halo; coarser scales run replicated."""
+    out = []
+    for sl in range(cfg.finest_scale, cfg.coarsest_scale + 1):
+        hl_sl = (H // n_space) >> sl
+        halo = int(math.ceil(displacement_bound(cfg, sl))) + cfg.padding
+        if hl_sl >= max(halo, cfg.padding) * min_rows_factor and \
+                (H // n_space) % (1 << sl) == 0:
+            out.append(sl)
+    return out
+
+
+def make_fine_spatial_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int):
+    """Jitted row-sharded flow for padded [H, W, C] frames with the fine
+    DIS scales computed in place under halo exchange.
+
+    Returns full-resolution flow [H, W, 2] sharded over 'space'.
+    """
+    n_space = mesh.shape[SPACE_AXIS]
+    if H % (n_space * (2 ** cfg.coarsest_scale)) != 0:
+        raise ValueError("H must divide over shards with 2^cs divisibility")
+    hl0 = H // n_space
+    sharded_levels = set(sharded_scale_levels(cfg, H, n_space))
+    pad = cfg.padding
+
+    def worker(i0_strip, i1_strip):
+        idx = lax.axis_index(SPACE_AXIS)
+
+        # --- local pyramid strips (downsample needs no halo) ---
+        strips = {0: (i0_strip, i1_strip)}
+        a, b = i0_strip, i1_strip
+        for sl in range(1, cfg.coarsest_scale + 1):
+            a = downsample_half(a)
+            b = downsample_half(b)
+            strips[sl] = (a, b)
+
+        def halo_padded(strip, halo):
+            """Rows via ppermute halo (edge at global borders), static
+            column edge-pad -> [hl + 2*halo, W + 2*pad, C]."""
+            x = exchange_rows(strip, halo, SPACE_AXIS, mode="edge")
+            return jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+
+        def grads_halo(img_rows, hl_sl, w_sl, halo):
+            """Gradients of the halo'd rows with global zero-pad semantics.
+
+            img_rows: [hl + 2*halo, W, C] (row halo only).  Gradients are
+            valid where neighbor rows are real; rows outside the global
+            image and the column pads are zeroed (the reference zero-pads
+            gradients, pyramid.cpp:122-129)."""
+            gx, gy = central_diff(img_rows)
+            row_g = (jax.lax.broadcasted_iota(
+                jnp.int32, gx.shape[:1], 0) - halo) + idx * hl_sl
+            ok = ((row_g >= 0) & (row_g < n_space * hl_sl))[:, None, None]
+            gx = jnp.where(ok, gx, 0.0)
+            gy = jnp.where(ok, gy, 0.0)
+            gx = jnp.pad(gx, ((0, 0), (pad, pad), (0, 0)))
+            gy = jnp.pad(gy, ((0, 0), (pad, pad), (0, 0)))
+            return gx, gy
+
+        flow_strip = None     # [hl_sl, W_sl, 2] at the previous (coarser) scale
+        for sl in range(cfg.coarsest_scale, cfg.finest_scale - 1, -1):
+            w_sl, h_sl = W >> sl, H >> sl
+            hl_sl = hl0 >> sl
+            grid = PatchGrid.create(cfg, w_sl, h_sl)
+            s0, s1 = strips[sl]
+
+            if sl not in sharded_levels:
+                # --- replicated fallback: gather, compute, re-slice ---
+                a_full = lax.all_gather(s0, SPACE_AXIS, axis=0, tiled=True)
+                b_full = lax.all_gather(s1, SPACE_AXIS, axis=0, tiled=True)
+                if flow_strip is None:
+                    coarse_full = None
+                else:
+                    coarse_full = lax.all_gather(flow_strip, SPACE_AXIS,
+                                                 axis=0, tiled=True)
+                from ..ops.pyramid import pad_constant, pad_replicate
+                I0p = pad_replicate(a_full, pad)
+                gx0, gy0 = central_diff(a_full)
+                from ..ops.patches import extract_templates_and_hessians
+                tmpl, gx, gy, Hs = extract_templates_and_hessians(
+                    I0p, pad_constant(gx0, pad), pad_constant(gy0, pad),
+                    grid, cfg)
+                state = dis_mod.init_state(tmpl, gx, gy, Hs, grid)
+                if coarse_full is not None:
+                    state = dis_mod.init_from_coarser(state, coarse_full, grid)
+                I1p = pad_replicate(b_full, pad)
+                state = dis_mod.optimize(state, I1p, grid, cfg)
+                flow_full = densify_mod.densify(state, grid, cfg)
+                if cfg.use_var_ref:
+                    flow_full = var_mod.variational_refine(
+                        flow_full, a_full, b_full, cfg, sl)
+                flow_strip = lax.dynamic_slice(
+                    flow_full, (idx * hl_sl, 0, 0), (hl_sl, w_sl, 2))
+                continue
+
+            # --- sharded scale ---
+            starts, counts, n_loc = _strip_grid(cfg, grid, hl_sl, n_space)
+            starts_t = jnp.asarray(starts)[idx]
+            counts_t = jnp.asarray(counts)[idx]
+            slot = jnp.arange(n_loc)
+            valid = slot < counts_t                       # [n_loc]
+            j_global = starts_t + slot                    # global patch row
+            my = (grid.offset_h + j_global * grid.steps).astype(jnp.float32)
+            mx, _ = grid.midpoints()
+            mid_org = jnp.stack(
+                [jnp.broadcast_to(jnp.asarray(mx[0])[None, :],
+                                  (n_loc, grid.n_w)),
+                 jnp.broadcast_to(my[:, None], (n_loc, grid.n_w))], axis=-1)
+
+            row0_local = (grid.offset_h + starts_t * grid.steps
+                          - idx * hl_sl)
+
+            img0h = halo_padded(s0, pad)
+            g0 = exchange_rows(s0, pad, SPACE_AXIS, mode="edge")
+            gx_h, gy_h = grads_halo(g0, hl_sl, w_sl, pad)
+            tmpl, gx, gy, Hs = _extract_strip(img0h, gx_h, gy_h, grid, cfg,
+                                              row0_local, n_loc)
+
+            state = dis_mod.PatchState(
+                p_cur=jnp.zeros((n_loc, grid.n_w, 2), tmpl.dtype),
+                p_org=jnp.zeros((n_loc, grid.n_w, 2), tmpl.dtype),
+                mid_org=mid_org.astype(tmpl.dtype),
+                H=Hs, templates=tmpl, tgrad_x=gx, tgrad_y=gy,
+                converged=jnp.broadcast_to(~valid[:, None],
+                                           (n_loc, grid.n_w)),
+                cost_px=jnp.zeros_like(tmpl), diff=jnp.zeros_like(tmpl))
+
+            if flow_strip is not None:
+                # nearest warm start: coarse local row = my//2 - strip row0
+                iy = (my.astype(jnp.int32) // 2) - idx * (hl_sl // 2)
+                ix = (np.asarray(mx[0]).astype(np.int32) // 2)
+                p = flow_strip[jnp.clip(iy, 0, flow_strip.shape[0] - 1)][
+                    :, ix, :] * 2.0
+                mid = state.mid_org + p
+                oob = ((mid[..., 0] < grid.l_bound)
+                       | (mid[..., 1] < grid.l_bound)
+                       | (mid[..., 0] > grid.u_bound_w)
+                       | (mid[..., 1] > grid.u_bound_h))
+                state = state._replace(p_cur=p, p_org=p,
+                                       converged=state.converged | oob)
+
+            halo_t = int(math.ceil(displacement_bound(cfg, sl))) + pad
+            img1h = halo_padded(s1, halo_t)
+            # sampling happens in strip coordinates: local row 0 of img1h
+            # is global padded row idx*hl_sl - (halo_t - pad); bounds
+            # checks inside optimize stay in global coordinates.
+            row_off = ((halo_t - pad) - idx * hl_sl).astype(tmpl.dtype)
+            sample_offset = jnp.stack([jnp.zeros_like(row_off), row_off])
+            state = dis_mod.optimize(state, img1h, grid, cfg,
+                                     sample_offset=sample_offset)
+
+            flow_strip = _densify_strip(state, grid, cfg, hl_sl,
+                                        row0_local, SPACE_AXIS, valid=valid)
+
+            if cfg.use_var_ref:
+                # gathered variational refinement (sharded SOR: round 2)
+                flow_full = lax.all_gather(flow_strip, SPACE_AXIS, axis=0,
+                                           tiled=True)
+                a_full = lax.all_gather(s0, SPACE_AXIS, axis=0, tiled=True)
+                b_full = lax.all_gather(s1, SPACE_AXIS, axis=0, tiled=True)
+                flow_full = var_mod.variational_refine(
+                    flow_full, a_full, b_full, cfg, sl)
+                flow_strip = lax.dynamic_slice(
+                    flow_full, (idx * hl_sl, 0, 0), (hl_sl, w_sl, 2))
+
+        # --- strip upsample to full resolution ---
+        fs = cfg.finest_scale
+        if fs == 0:
+            return flow_strip
+        scale = float(2 ** fs)
+        flow_small = lax.all_gather(flow_strip, SPACE_AXIS, axis=0,
+                                    tiled=True)
+        return resize_rows_strip(flow_small * scale, scale, scale,
+                                 lax.axis_index(SPACE_AXIS) * hl0, hl0, W)
+
+    sharded = shard_map(worker, mesh=mesh,
+                        in_specs=(P(SPACE_AXIS), P(SPACE_AXIS)),
+                        out_specs=P(SPACE_AXIS), check_vma=False)
+    return jax.jit(sharded)
