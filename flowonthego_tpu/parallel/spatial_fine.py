@@ -316,15 +316,12 @@ def make_fine_spatial_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int):
                                         row0_local, SPACE_AXIS, valid=valid)
 
             if cfg.use_var_ref:
-                # gathered variational refinement (sharded SOR: round 2)
-                flow_full = lax.all_gather(flow_strip, SPACE_AXIS, axis=0,
-                                           tiled=True)
-                a_full = lax.all_gather(s0, SPACE_AXIS, axis=0, tiled=True)
-                b_full = lax.all_gather(s1, SPACE_AXIS, axis=0, tiled=True)
-                flow_full = var_mod.variational_refine(
-                    flow_full, a_full, b_full, cfg, sl)
-                flow_strip = lax.dynamic_slice(
-                    flow_full, (idx * hl_sl, 0, 0), (hl_sl, w_sl, 2))
+                # fully sharded refinement: per-sweep SOR halo exchange
+                from .varref_sharded import variational_refine_sharded
+                warp_halo = int(math.ceil(displacement_bound(cfg, sl))) + 2
+                flow_strip = variational_refine_sharded(
+                    flow_strip, s0, s1, cfg, sl, SPACE_AXIS, idx, hl_sl,
+                    h_sl, warp_halo)
 
         # --- strip upsample to full resolution ---
         fs = cfg.finest_scale
