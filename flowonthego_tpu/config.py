@@ -62,7 +62,14 @@ class DISConfig:
 
     # Fixed parameters (src/params.h:49-50)
     min_errval: float = 2.0
-    norm_outlier: float = 5.0
+    norm_outlier: float = 5.0    # pseudo-Huber width b
+
+    # Patch photometric cost: "l2" (the GPU reference's only mode),
+    # "l1" or "huber" (CPU baseline's costfct 1/2, kroeger/patch.cpp:223-262:
+    # the residual image is transformed to sign(d)*sqrt(|d|) resp.
+    # sign(d)*sqrt(2b^2(sqrt(1+d^2/b^2)-1)) before projection, and the
+    # per-pixel densification weight becomes |d'| instead of d'^2).
+    cost_fn: str = "l2"
 
     # dtype for the compute path ("float32" matches the reference; "bfloat16"
     # is an experimental fast path for the interpolation gathers).

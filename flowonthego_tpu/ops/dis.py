@@ -114,7 +114,18 @@ def _sample_residual(state: PatchState, I1_pad, grid: PatchGrid,
     if cfg.use_mean_normalization:
         raw = raw - raw.mean(axis=(2, 3, 4), keepdims=True)
     diff = raw - state.templates
-    cost_px = diff * diff
+    if cfg.cost_fn == "l1":
+        # sign(d) * sqrt(|d|)  (kroeger/patch.cpp:240-247)
+        diff = jnp.sign(diff) * jnp.sqrt(jnp.abs(diff))
+        cost_px = jnp.abs(diff)
+    elif cfg.cost_fn == "huber":
+        # sign(d) * sqrt(2 b^2 (sqrt(1 + d^2/b^2) - 1))  (patch.cpp:248-261)
+        b2 = cfg.norm_outlier * cfg.norm_outlier
+        diff = jnp.sign(diff) * jnp.sqrt(
+            2.0 * b2 * (jnp.sqrt(1.0 + diff * diff / b2) - 1.0))
+        cost_px = jnp.abs(diff)
+    else:
+        cost_px = diff * diff
     cost = cost_px.sum(axis=(2, 3, 4))
     return diff, cost_px, cost
 
@@ -216,7 +227,12 @@ def optimize(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
     final state is identical.  For res_thresh > 0 we defer to the
     reference-form loop.
     """
-    if cfg.res_thresh > 0.0:
+    if cfg.res_thresh > 0.0 or cfg.cost_fn != "l2":
+        # non-quadratic costs transform the residual before projection;
+        # the linear-reduction shortcut only holds for plain L2
+        if sample_offset is not None:
+            raise NotImplementedError(
+                "sharded sampling requires the l2 fast path")
         return optimize_reference(state, I1_pad, grid, cfg)
 
     ps = grid.patch_size
