@@ -245,6 +245,12 @@ def optimize(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
     ones = jnp.ones_like(state.templates)
     W4 = jnp.stack([ones, state.templates, state.tgrad_x, state.tgrad_y],
                    axis=-1).reshape(n_h, n_w, N, 4)
+    # Optional bf16 sampling path: halves the window-gather and matvec
+    # traffic; the reductions and all scalar state stay f32.  EPE impact
+    # is sub-percent (see tests/bench); opt in with cfg.dtype="bfloat16".
+    bf16 = cfg.dtype == "bfloat16"
+    I1_s = I1_pad.astype(jnp.bfloat16) if bf16 else I1_pad
+    W4_s = W4.astype(jnp.bfloat16) if bf16 else W4
     gx_sum = state.tgrad_x.sum(axis=(2, 3, 4))
     gy_sum = state.tgrad_y.sum(axis=(2, 3, 4))
     gxT = (state.tgrad_x * state.templates).sum(axis=(2, 3, 4))
@@ -260,11 +266,14 @@ def optimize(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
         mid = state.mid_org + p_cur
         if sample_offset is not None:
             mid = mid + sample_offset
-        win, rx, ry = gather_windows(I1_pad, mid[..., 0], mid[..., 1],
+        win, rx, ry = gather_windows(I1_s, mid[..., 0], mid[..., 1],
                                      ps, grid.padding)
+        if bf16:
+            rx = rx.astype(jnp.bfloat16)
+            ry = ry.astype(jnp.bfloat16)
         S = blend_windows(win, rx, ry).reshape(n_h, n_w, N)
         # one pass: batched matvec against the static weight stack
-        return jnp.einsum("hwk,hwki->hwi", S, W4,
+        return jnp.einsum("hwk,hwki->hwi", S, W4_s,
                           preferred_element_type=jnp.float32).astype(dtype)
 
     def gn_step(p_cur, active):
