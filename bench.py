@@ -20,7 +20,7 @@ import sys
 import time
 
 
-def chain_timer(step, args, n=8, trials=3):
+def chain_timer(step, args, n=8, trials=5):
     import jax
     import jax.numpy as jnp
 
