@@ -59,7 +59,7 @@ def make_data_parallel_flow(mesh: Mesh, cfg: DISConfig, full_res: bool = True):
 
 
 def stream_flow(frames: Iterator[np.ndarray], cfg: DISConfig,
-                full_res: bool = True) -> Iterator[np.ndarray]:
+                full_res: bool = True, fetch: bool = True):
     """Sequential video streaming with flow warm-starting.
 
     Carries the previous pair's flow (downsampled to the coarsest-scale
@@ -91,5 +91,7 @@ def stream_flow(frames: Iterator[np.ndarray], cfg: DISConfig,
                 init_w = cur.shape[1] >> (cfg.coarsest_scale + 1)
                 init = jnp.zeros((init_h, init_w, 2), jnp.float32)
             out, init = step(prev, cur, init)
-            yield np.asarray(out)
+            # fetch=False keeps flows device-resident (the consumer decides
+            # when to sync) — host transfer can dominate on slow links.
+            yield np.asarray(out) if fetch else out
         prev = cur
