@@ -38,6 +38,10 @@ def _pop_flag(argv, name, has_value=True, default=None):
         return argv, default
     i = argv.index(name)
     if has_value:
+        if i + 1 >= len(argv):
+            print(f"error: {name} requires a value\n")
+            print(__doc__)
+            sys.exit(2)
         value = argv[i + 1]
         return argv[:i] + argv[i + 2:], value
     return argv[:i] + argv[i + 1:], True

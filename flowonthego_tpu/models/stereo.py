@@ -33,7 +33,9 @@ from ..models.dis_flow import upsample_flow_to_full
 def _optimize_1d(state: dis_mod.PatchState, I1_pad, grid: PatchGrid,
                  cfg: DISConfig, cam_lr: int) -> dis_mod.PatchState:
     """Fixed-trip 1-D inverse search with disparity sign clamp."""
-    n_vals = float(cfg.n_vals)
+    # mares normalizer: values per patch, channel-generic (the config's
+    # n_vals property assumes RGB; gray/gradmag inputs have C=1)
+    n_vals = float(np.prod(state.templates.shape[2:]))
 
     active0 = ~state.converged
     diff, cost_px, cost = dis_mod._sample_residual(state, I1_pad, grid, cfg)

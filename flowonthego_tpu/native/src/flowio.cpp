@@ -10,6 +10,7 @@
 // cv::imread(CV_LOAD_IMAGE_COLOR) + convertTo(CV_32F) so flow outputs are
 // directly comparable with the reference.
 
+#include <csetjmp>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -123,13 +124,33 @@ int png_read_bgr32f(const char* path, int* width, int* height, float* data) {
   return 0;
 }
 
+namespace {
+// libjpeg's default error_exit calls exit(); longjmp back instead so a
+// corrupt file returns an error code per the C-ABI contract.
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void jpeg_error_longjmp(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+}  // namespace
+
 // Decode a JPEG into float32 BGR (0..255). Pass data=nullptr to query size.
 int jpeg_read_bgr32f(const char* path, int* width, int* height, float* data) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   jpeg_decompress_struct cinfo;
-  jpeg_error_mgr jerr;
-  cinfo.err = jpeg_std_error(&jerr);
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_longjmp;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return -3;
+  }
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {

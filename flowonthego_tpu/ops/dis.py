@@ -28,6 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import DISConfig
 from .interp import blend_windows, gather_windows, sample_patches_bilinear
@@ -145,7 +146,9 @@ def optimize_reference(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
     Equivalent of cu::interpolateAndComputeErr's in-kernel while loop
     (optimize.cu:97-243) + calcProjection (optimize.cu:23-94).
     """
-    n_vals = float(cfg.n_vals)
+    # mares normalizer: values per patch, channel-generic (the config's
+    # n_vals property assumes RGB; gray/gradmag inputs have C=1)
+    n_vals = float(np.prod(state.templates.shape[2:]))
     out_thresh = cfg.outlier_thresh
 
     # --- initial resample at the warm-started midpoint (count == 0) ---

@@ -49,10 +49,13 @@ def make_spatial_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int):
     """
     n_space = mesh.shape[SPACE_AXIS]
     fs = cfg.finest_scale
-    if H % (n_space * (2 ** cfg.coarsest_scale)) != 0:
+    # the gathered coarse pipeline needs H % 2^cs == 0; local downsampling
+    # to the finest level needs (H / n_space) % 2^fs == 0
+    if H % (2 ** cfg.coarsest_scale) != 0 or H % n_space != 0 \
+            or (H // n_space) % (2 ** fs) != 0:
         raise ValueError(
-            f"H={H} must divide over {n_space} shards with 2^{cfg.coarsest_scale}"
-            " divisibility per shard")
+            f"H={H} must satisfy H % 2^{cfg.coarsest_scale} == 0 and "
+            f"(H/{n_space}) % 2^{fs} == 0")
     h_local = H // n_space
     scale = float(2 ** fs)
     # The replicated coarse pipeline runs on the finest-level image with

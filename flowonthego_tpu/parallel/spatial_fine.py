@@ -46,8 +46,22 @@ from .mesh import SPACE_AXIS
 
 
 def displacement_bound(cfg: DISConfig, sl: int) -> float:
-    """Max |p| at scale sl (outlier threshold doubled per warm start)."""
+    """Max |p| at scale sl from the DIS machinery alone: the outlier reset
+    caps surviving |p| at ps/2, and a warm start doubles the coarser
+    bound.  Variational refinement adds an unbounded (in theory) SOR
+    increment on top; :func:`_halo_slack` budgets for it."""
     return cfg.outlier_thresh * (2.0 ** (cfg.coarsest_scale - sl))
+
+
+def _halo_slack(cfg: DISConfig) -> int:
+    """Extra halo rows beyond the DIS displacement bound.
+
+    With use_var_ref the warm start is 2x a *refined* flow whose SOR
+    increment is not formally bounded; in practice it stays well under a
+    patch size (the data term anchors it to the DIS solution).  We budget
+    2*ps rows of slack — sampling beyond the halo degrades gracefully
+    (dynamic_slice clamps to the halo edge) rather than erroring."""
+    return 2 * cfg.patch_size if cfg.use_var_ref else 0
 
 
 def _strip_grid(cfg: DISConfig, grid: PatchGrid, hl: int, n_shards: int):
@@ -161,13 +175,19 @@ def _densify_strip(state: dis_mod.PatchState, grid: PatchGrid, cfg,
 
 def sharded_scale_levels(cfg: DISConfig, H: int, n_space: int,
                          min_rows_factor: float = 1.0):
-    """Which scales can run sharded: strip height must cover the target-
-    sampling halo; coarser scales run replicated."""
+    """Which scales can run sharded: the strip must cover the target-
+    sampling halo (incl. var-ref slack) AND the densification fold margin
+    (ps + r*steps — exchange_accumulate_rows folds that many rows into
+    each neighbor); coarser scales run replicated."""
+    ps, st = cfg.patch_size, cfg.steps
+    r = -(-ps // st)
+    densify_margin = ps + r * st
     out = []
     for sl in range(cfg.finest_scale, cfg.coarsest_scale + 1):
         hl_sl = (H // n_space) >> sl
-        halo = int(math.ceil(displacement_bound(cfg, sl))) + cfg.padding
-        if hl_sl >= max(halo, cfg.padding) * min_rows_factor and \
+        halo = (int(math.ceil(displacement_bound(cfg, sl))) + cfg.padding
+                + _halo_slack(cfg))
+        if hl_sl >= max(halo, densify_margin) * min_rows_factor and \
                 (H // n_space) % (1 << sl) == 0:
             out.append(sl)
     return out
@@ -182,6 +202,10 @@ def make_fine_spatial_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int):
     n_space = mesh.shape[SPACE_AXIS]
     if H % (n_space * (2 ** cfg.coarsest_scale)) != 0:
         raise ValueError("H must divide over shards with 2^cs divisibility")
+    if cfg.use_fb_consistency:
+        raise NotImplementedError(
+            "forward-backward consistency is not supported on the sharded "
+            "path yet; use the single-device pipeline")
     hl0 = H // n_space
     sharded_levels = set(sharded_scale_levels(cfg, H, n_space))
     pad = cfg.padding
@@ -250,8 +274,14 @@ def make_fine_spatial_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int):
                 state = dis_mod.optimize(state, I1p, grid, cfg)
                 flow_full = densify_mod.densify(state, grid, cfg)
                 if cfg.use_var_ref:
-                    flow_full = var_mod.variational_refine(
-                        flow_full, a_full, b_full, cfg, sl)
+                    if cfg.varref_backend == "pallas":
+                        from ..ops.pallas.varref_fused import \
+                            variational_refine_fused
+                        flow_full = variational_refine_fused(
+                            flow_full, a_full, b_full, cfg, sl)
+                    else:
+                        flow_full = var_mod.variational_refine(
+                            flow_full, a_full, b_full, cfg, sl)
                 flow_strip = lax.dynamic_slice(
                     flow_full, (idx * hl_sl, 0, 0), (hl_sl, w_sl, 2))
                 continue
@@ -302,7 +332,8 @@ def make_fine_spatial_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int):
                 state = state._replace(p_cur=p, p_org=p,
                                        converged=state.converged | oob)
 
-            halo_t = int(math.ceil(displacement_bound(cfg, sl))) + pad
+            halo_t = (int(math.ceil(displacement_bound(cfg, sl))) + pad
+                      + _halo_slack(cfg))
             img1h = halo_padded(s1, halo_t)
             # sampling happens in strip coordinates: local row 0 of img1h
             # is global padded row idx*hl_sl - (halo_t - pad); bounds
@@ -318,7 +349,8 @@ def make_fine_spatial_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int):
             if cfg.use_var_ref:
                 # fully sharded refinement: per-sweep SOR halo exchange
                 from .varref_sharded import variational_refine_sharded
-                warp_halo = int(math.ceil(displacement_bound(cfg, sl))) + 2
+                warp_halo = (int(math.ceil(displacement_bound(cfg, sl)))
+                             + 2 + _halo_slack(cfg))
                 flow_strip = variational_refine_sharded(
                     flow_strip, s0, s1, cfg, sl, SPACE_AXIS, idx, hl_sl,
                     h_sl, warp_halo)

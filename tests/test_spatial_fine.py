@@ -43,8 +43,8 @@ def test_fine_sharded_matches_single(rng, use_var_ref):
                     finest_scale=1, grad_descent_iter=8,
                     use_var_ref=use_var_ref)
     mesh = make_mesh(n_data=1, n_space=4, devices=jax.devices()[:4])
-    H, W = 256, 64
-    # scale 1 (strip 32 rows, halo 16+8) runs sharded; 2-3 replicated
+    # var-ref adds halo slack, which needs taller strips to stay sharded
+    H, W = (512, 64) if use_var_ref else (256, 64)
     assert 1 in sharded_scale_levels(cfg, H, 4)
     I0 = _smooth(rng, H, W)
     I1 = np.roll(np.roll(I0, 2, axis=1), 1, axis=0)
