@@ -71,6 +71,12 @@ class DISConfig:
     # per-pixel densification weight becomes |d'| instead of d'^2).
     cost_fn: str = "l2"
 
+    # Densification pixel weight: "squared" = GPU reference semantics
+    # (1/sum_c max(minerr, d_c^2), densify.cu:75-78); "abs" = CPU baseline
+    # semantics (1/sum_c max(minerr, |d_c|), kroeger/patchgrid.cpp:254-258).
+    # The two references themselves diverge here.
+    densify_weight: str = "squared"
+
     # dtype for the compute path ("float32" matches the reference; "bfloat16"
     # is an experimental fast path for the interpolation gathers).
     dtype: str = "float32"

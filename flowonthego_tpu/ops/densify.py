@@ -29,8 +29,17 @@ from .patches import PatchGrid
 
 
 def _pixel_weights(state: PatchState, cfg: DISConfig) -> jax.Array:
-    """absw = 1 / sum_c max(min_errval, cost_px[c])  (densify.cu:75-78)."""
-    clamped = jnp.maximum(state.cost_px, cfg.min_errval)
+    """absw = 1 / sum_c max(min_errval, e_c)  (densify.cu:75-78).
+
+    e_c is the stored per-pixel error: squared residual in the default
+    GPU semantics; with densify_weight="abs" (or the robust cost modes,
+    which already store |d'|) it is the absolute residual, matching the
+    CPU baseline (kroeger/patchgrid.cpp:254-258).
+    """
+    err = state.cost_px
+    if cfg.densify_weight == "abs" and cfg.cost_fn == "l2":
+        err = jnp.sqrt(err)
+    clamped = jnp.maximum(err, cfg.min_errval)
     return 1.0 / clamped.sum(axis=-1)
 
 

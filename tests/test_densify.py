@@ -71,6 +71,23 @@ def test_densify_op3_geometry(rng):
     _check(DISConfig(patch_size=12, patch_stride=0.75), 27, 36, rng)
 
 
+def test_abs_weight_mode_matches_cpu_formula(rng):
+    """densify_weight='abs' uses 1/sum max(minerr, |d|) (CPU baseline)."""
+    import dataclasses
+    cfg = dataclasses.replace(DISConfig(patch_size=8, patch_stride=0.4),
+                              densify_weight="abs")
+    h, w = 16, 24
+    grid = PatchGrid.create(cfg, w, h)
+    ps = cfg.patch_size
+    # cost_px stores squared residuals in l2 mode; abs mode sqrt()s them
+    diffs = rng.random((grid.n_h, grid.n_w, ps, ps, 3)).astype(np.float32) * 6
+    cost_px = diffs * diffs
+    p_cur = rng.standard_normal((grid.n_h, grid.n_w, 2)).astype(np.float32)
+    out = np.asarray(densify(_make_state(grid, cost_px, p_cur), grid, cfg))
+    ref = naive_densify(grid, np.abs(diffs), p_cur, cfg.min_errval)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_every_pixel_covered(rng):
     cfg = DISConfig(patch_size=8, patch_stride=0.4)
     h, w = 16, 24
