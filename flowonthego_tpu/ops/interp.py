@@ -12,15 +12,89 @@ where W is the (ps+1)x(ps+1) window whose top-left sits at
 w0 = rx*ry, w1 = (1-rx)*ry, w2 = rx*(1-ry), w3 = (1-rx)*(1-ry)
 (optimize.cu:133-143; the ceil(+1e-5)/floor index pair reduces to this).
 
-The dynamic (ps+1)^2 window gather is a vmapped ``lax.dynamic_slice`` —
-one XLA gather over the patch batch.  A Pallas scalar-prefetch variant
-lives in ops/pallas/ for the hot path.
+The dynamic (ps+1)^2 window gather is formulated as two one-hot MXU
+matmuls (row select then column select) — XLA lowers a vmapped
+``lax.dynamic_slice`` to a *sequential* per-patch loop of tiny
+dynamic-update-slices on TPU (measured ~1 us/patch/iteration, the single
+largest cost in the whole pipeline), whereas the one-hot contraction is a
+dense batched matmul the MXU eats for breakfast.  The dynamic-slice form
+is kept as a fallback for very large levels where the one-hot operands
+would not pay for themselves.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+# Use the one-hot MXU gather while the per-level one-hot operands stay
+# under this many bytes; beyond it fall back to vmapped dynamic_slice.
+_ONEHOT_BYTES_LIMIT = 256 * 1024 * 1024
+
+
+def _onehot_cost_bytes(n_patches: int, window: int, img_shape) -> int:
+    Hp, Wp, C = img_shape
+    row = n_patches * window * Hp          # [P, K, Hp]
+    col = n_patches * Wp * C * window * C  # [P, WpC, KC]
+    mid = n_patches * window * Wp * C      # row-gathered intermediate
+    return 4 * (row + col + mid)
+
+
+def use_matmul_gather(n_patches: int, window: int, img_shape) -> bool:
+    return _onehot_cost_bytes(n_patches, window, img_shape) <= \
+        _ONEHOT_BYTES_LIMIT
+
+
+def gather_windows_matmul(img_pad: jax.Array, start_y: jax.Array,
+                          start_x: jax.Array, window: int):
+    """Gather [P, K, K, C] windows at integer starts via one-hot matmuls.
+
+    img_pad: [Hp, Wp, C]; start_y/start_x: [P] int32 top-left corners in
+    padded coordinates.  Starts are clamped to keep the window in-bounds,
+    matching ``lax.dynamic_slice`` semantics exactly (the sharded path
+    leans on that clamp for graceful degradation past its halo slack,
+    parallel/spatial_fine.py).
+
+    Stage 1 (rows):  R[p*K + r, y] = [y == start_y[p] + r]
+                     G = R @ img.reshape(Hp, Wp*C)          (one big matmul)
+    Stage 2 (cols):  S[p, m, n]   = [m == start_x[p]*C + n]  (m over Wp*C,
+                     n over K*C — folding the channel axis keeps stage 2 a
+                     clean batched matmul with no transposes)
+                     out[p] = G[p] @ S[p]
+    """
+    K = window
+    Hp, Wp, C = img_pad.shape
+    P = start_y.shape[0]
+    dtype = img_pad.dtype
+    # jax.lax.dynamic_slice semantics: negative starts wrap Python-style,
+    # then everything clamps to keep the window in-bounds.
+    start_y = jnp.clip(jnp.where(start_y < 0, start_y + Hp, start_y),
+                       0, Hp - K)
+    start_x = jnp.clip(jnp.where(start_x < 0, start_x + Wp, start_x),
+                       0, Wp - K)
+
+    # Stage 1: row one-hot [P*K, Hp].
+    yy = jax.lax.broadcasted_iota(jnp.int32, (P, K, Hp), 2)
+    tgt = start_y[:, None, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (P, K, Hp), 1)
+    R = (yy == tgt).astype(dtype).reshape(P * K, Hp)
+    # HIGHEST precision: one-hot contractions must pass image values
+    # through bit-exactly (default TPU matmul precision rounds fp32
+    # operands to bf16); these matmuls are tiny, the cost is noise.
+    G = jnp.dot(R, img_pad.reshape(Hp, Wp * C),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST).astype(dtype)
+    G = G.reshape(P, K, Wp * C)
+
+    # Stage 2: column one-hot [P, Wp*C, K*C]; m - n == start_x*C.
+    mm = jax.lax.broadcasted_iota(jnp.int32, (P, Wp * C, K * C), 1)
+    nn = jax.lax.broadcasted_iota(jnp.int32, (P, Wp * C, K * C), 2)
+    S = (mm - nn == (start_x * C)[:, None, None]).astype(dtype)
+    out = jax.lax.dot_general(
+        G, S, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST).astype(dtype)
+    return out.reshape(P, K, K, C)
 
 
 def gather_windows(img_pad: jax.Array, mid_x: jax.Array, mid_y: jax.Array,
@@ -43,10 +117,14 @@ def gather_windows(img_pad: jax.Array, mid_x: jax.Array, mid_y: jax.Array,
     start_y = (fy.astype(jnp.int32) + (padding - ps // 2)).reshape(-1)
     start_x = (fx.astype(jnp.int32) + (padding - ps // 2)).reshape(-1)
 
-    def one_window(sy, sx):
-        return jax.lax.dynamic_slice(img_pad, (sy, sx, 0), (ps + 1, ps + 1, C))
+    if use_matmul_gather(n_h * n_w, ps + 1, img_pad.shape):
+        windows = gather_windows_matmul(img_pad, start_y, start_x, ps + 1)
+    else:
+        def one_window(sy, sx):
+            return jax.lax.dynamic_slice(img_pad, (sy, sx, 0),
+                                         (ps + 1, ps + 1, C))
 
-    windows = jax.vmap(one_window)(start_y, start_x)
+        windows = jax.vmap(one_window)(start_y, start_x)
     return windows.reshape(n_h, n_w, ps + 1, ps + 1, C), rx, ry
 
 

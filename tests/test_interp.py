@@ -51,3 +51,23 @@ def test_integer_midpoint_is_direct_window(rng):
     ref = img_pad[12 + pad - ps // 2: 12 + pad + ps // 2,
                   10 + pad - ps // 2: 10 + pad + ps // 2]
     np.testing.assert_array_equal(out[0, 0], ref)
+
+
+def test_matmul_gather_matches_dynamic_slice(rng):
+    """The one-hot MXU gather must agree with vmapped dynamic_slice
+    bit-for-bit, including the clamp at out-of-range starts."""
+    import jax
+    from flowonthego_tpu.ops.interp import gather_windows_matmul
+
+    K = 9
+    img_pad = jnp.asarray(rng.standard_normal((30, 26, 3)).astype(np.float32))
+    Hp, Wp, C = img_pad.shape
+    # In-range, edge, and out-of-range starts (negative and beyond).
+    sy = jnp.asarray([0, 5, Hp - K, -3, Hp + 4, 12], jnp.int32)
+    sx = jnp.asarray([0, 7, Wp - K, Wp + 2, -1, 3], jnp.int32)
+    got = np.asarray(gather_windows_matmul(img_pad, sy, sx, K))
+
+    def one(sy_, sx_):
+        return jax.lax.dynamic_slice(img_pad, (sy_, sx_, 0), (K, K, C))
+    ref = np.asarray(jax.vmap(one)(sy, sx))
+    np.testing.assert_array_equal(got, ref)

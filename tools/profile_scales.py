@@ -1,0 +1,99 @@
+"""Per-scale, per-stage deep-chain profile (RTT floor ~25ms/n).
+
+Usage: python tools/profile_scales.py [width height n]
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+from flowonthego_tpu.config import operating_point
+from flowonthego_tpu.ops import densify as densify_mod
+from flowonthego_tpu.ops import dis as dis_mod
+from flowonthego_tpu.ops import variational as var_mod
+from flowonthego_tpu.ops.patches import PatchGrid, extract_templates_and_hessians
+from flowonthego_tpu.ops.pyramid import build_pyramid
+
+
+def chain_time(fn, args, n=64, trials=3):
+    @jax.jit
+    def chained(*a):
+        def body(i, acc):
+            out = fn(*(x + acc * 1e-12 if x.dtype == jnp.float32 else x
+                       for x in a))
+            return acc + jnp.sum(out) * 1e-20
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    float(chained(*args))
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        float(chained(*args))
+        times.append((time.perf_counter() - t0) / n)
+    times.sort()
+    return times[len(times) // 2] * 1e3
+
+
+def main():
+    W = int(sys.argv[1]) if len(sys.argv) > 1 else 3840
+    H = int(sys.argv[2]) if len(sys.argv) > 2 else 2176
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    cfg = operating_point(2, width=W)
+    print(f"config: cs={cfg.coarsest_scale} fs={cfg.finest_scale}")
+
+    rng = np.random.default_rng(0)
+    I0 = jax.device_put(rng.random((H, W, 3), np.float32) * 255)
+    I1 = jax.device_put(rng.random((H, W, 3), np.float32) * 255)
+    n_levels = cfg.coarsest_scale + 1
+    pyr0 = build_pyramid(I0, n_levels, cfg.padding)
+    pyr1 = build_pyramid(I1, n_levels, cfg.padding)
+
+    total = 0.0
+    for sl in range(cfg.coarsest_scale, cfg.finest_scale - 1, -1):
+        w_sl, h_sl = W >> sl, H >> sl
+        grid = PatchGrid.create(cfg, w_sl, h_sl)
+        lvl0, lvl1 = pyr0[sl], pyr1[sl]
+
+        def extract(img, gx, gy):
+            t, a, b, Hs = extract_templates_and_hessians(img, gx, gy, grid, cfg)
+            return jnp.sum(t) + jnp.sum(Hs)
+        te = chain_time(extract, (lvl0.image, lvl0.grad_x, lvl0.grad_y), n)
+
+        tmpl, gx, gy, Hs = extract_templates_and_hessians(
+            lvl0.image, lvl0.grad_x, lvl0.grad_y, grid, cfg)
+
+        def opt(img1):
+            st = dis_mod.init_state(tmpl, gx, gy, Hs, grid)
+            st = dis_mod.optimize(st, img1, grid, cfg)
+            return st.p_cur
+        to = chain_time(opt, (lvl1.image,), n)
+
+        st = dis_mod.init_state(tmpl, gx, gy, Hs, grid)
+        st = dis_mod.optimize(st, lvl1.image, grid, cfg)
+
+        def dens(cost_px):
+            return densify_mod.densify(st._replace(cost_px=cost_px), grid, cfg)
+        td = chain_time(dens, (st.cost_px,), n)
+
+        flow = densify_mod.densify(st, grid, cfg)
+        p = cfg.padding
+        im1c = lvl0.image[p:p + h_sl, p:p + w_sl, :]
+        im2c = lvl1.image[p:p + h_sl, p:p + w_sl, :]
+
+        def varref(f):
+            return var_mod.variational_refine(f, im1c, im2c, cfg, sl)
+        tv = chain_time(varref, (flow,), n)
+
+        print(f"scale {sl} ({w_sl}x{h_sl}, {grid.n_patches:6d} patches): "
+              f"extract {te:7.3f}  optimize {to:7.3f}  densify {td:7.3f}  "
+              f"varref {tv:7.3f} ms")
+        total += te + to + td + tv
+    print(f"sum of stages: {total:8.3f} ms")
+
+
+if __name__ == "__main__":
+    main()
