@@ -67,6 +67,14 @@ def central_diff(img: jax.Array) -> tuple[jax.Array, jax.Array]:
     return gx, gy
 
 
+# Above this many elements, use the Pallas pool kernel on TPU backends —
+# XLA's reduce_window picks a pathological layout for big [H, W, 3]
+# images in the composed pipeline (2.6 ms for one 4K level vs ~0.25 ms
+# for the kernel).  Small levels stay on reduce_window (negligible cost,
+# and it runs everywhere including the CPU test mesh).
+_PALLAS_POOL_MIN_ELEMS = 1 << 20
+
+
 def downsample_half(img: jax.Array) -> jax.Array:
     """Bilinear x0.5 downsample == 2x2 average pool (even dims).
 
@@ -74,13 +82,39 @@ def downsample_half(img: jax.Array) -> jax.Array:
     half-pixel centers sample the average of each 2x2 block
     (src/kernels/pyramid.cpp:151-155, kroeger/run_dense.cpp:150).
 
-    Implemented with ``lax.reduce_window`` — stride-2 lane slicing or
-    lane-splitting reshapes are ~50x slower on TPU (measured 171 ms vs
-    3.7 ms for one 4K level).
+    Big levels on TPU go through the Pallas pool kernel
+    (ops/pallas/pool.py); the rest use ``lax.reduce_window`` — stride-2
+    lane slicing or lane-splitting reshapes are far slower on TPU.
     """
+    h, w = img.shape[0], img.shape[1]
+    if (img.ndim == 3 and img.size >= _PALLAS_POOL_MIN_ELEMS
+            and h % 2 == 0 and w % 2 == 0
+            and jax.default_backend() == "tpu"):
+        from .pallas.pool import pool2x2
+        return pool2x2(img)
     pooled = jax.lax.reduce_window(img, 0.0, jax.lax.add,
                                    (2, 2, 1), (2, 2, 1), "VALID")
     return pooled * 0.25
+
+
+def _downsample_half_flat(x: jax.Array, C: int) -> jax.Array:
+    """2x2 average pool on the flat [H, W*C] view (layout-safe chain).
+
+    Keeping the whole downsample chain rank-2 matters: a rank-3
+    [H, W, 3] value crossing the Pallas boundary tempts XLA's layout
+    assignment into a lane-padded layout for the producer plus a
+    multi-GB relayout (see ops/pallas/pool.py docstring).
+    """
+    h = x.shape[0]
+    if (x.size >= _PALLAS_POOL_MIN_ELEMS and h % 2 == 0
+            and jax.default_backend() == "tpu"):
+        from .pallas.pool import pool2x2_flat
+        return pool2x2_flat(x, C)
+    w = x.shape[1] // C
+    img = x.reshape(h, w, C)
+    pooled = jax.lax.reduce_window(img, 0.0, jax.lax.add,
+                                   (2, 2, 1), (2, 2, 1), "VALID")
+    return (pooled * 0.25).reshape(h // 2, (w // 2) * C)
 
 
 def build_pyramid(img: jax.Array, n_levels: int, padding: int,
@@ -98,15 +132,20 @@ def build_pyramid(img: jax.Array, n_levels: int, padding: int,
     reference's operating points this skips all full-resolution gradient/
     padding passes — the dominant cost at 4K.
     """
+    H, W, C = img.shape
     levels = []
-    current = img
+    # The downsample chain runs on the flat [h, w*C] view end to end —
+    # rank-2 keeps XLA layouts packed across the Pallas pool boundary.
+    cur = img.reshape(H, W * C)
     for lvl in range(n_levels):
         if lvl > 0:
-            current = downsample_half(current)
+            cur = _downsample_half_flat(cur, C)
+        h, w = H >> lvl, W >> lvl
         if lvl < start_level:
-            levels.append(PyramidLevel(image=current, grad_x=None,
-                                       grad_y=None))
+            levels.append(PyramidLevel(image=cur.reshape(h, w, C),
+                                       grad_x=None, grad_y=None))
             continue
+        current = cur.reshape(h, w, C)
         gx, gy = central_diff(current)
         levels.append(PyramidLevel(
             image=pad_replicate(current, padding),

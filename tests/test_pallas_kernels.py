@@ -30,3 +30,13 @@ def test_fused_varref_matches_xla(rng, level):
     fused = np.asarray(variational_refine_fused(flow, im1, im2, cfg, level,
                                                 interpret=True))
     np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(64, 96, 3), (34, 60, 3), (128, 128, 1)])
+def test_pool2x2_matches_reduce_window(rng, shape):
+    from flowonthego_tpu.ops.pallas.pool import pool2x2
+    from flowonthego_tpu.ops.pyramid import downsample_half
+    x = jnp.asarray(rng.random(shape).astype(np.float32) * 255)
+    ref = np.asarray(downsample_half(x))
+    got = np.asarray(pool2x2(x, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-4)
