@@ -81,9 +81,13 @@ class DISConfig:
     # is an experimental fast path for the interpolation gathers).
     dtype: str = "float32"
 
-    # Variational-refinement backend: "xla" (stencil ops) or "pallas"
-    # (ops/pallas/varref_fused — whole inner loop in one kernel).
-    varref_backend: str = "xla"
+    # Variational-refinement backend: "auto" (pallas on TPU when the
+    # refined field fits VMEM, xla otherwise), "xla" (stencil ops), or
+    # "pallas" (ops/pallas/varref_fused — whole inner loop in one
+    # kernel; at the reference's operating points the refined fields are
+    # tiny, so the XLA form's ~100 small ops per inner iteration cost
+    # more in dispatch than in compute).
+    varref_backend: str = "auto"
 
     # Forward-backward consistency: optimize a complementary I1->I0 grid
     # and merge its reversed flow during densification (the CPU

@@ -62,7 +62,7 @@ def dis_flow_padded(I0: jax.Array, I1: jax.Array, cfg: DISConfig,
     pyr1 = build_pyramid(I1, n_levels, cfg.padding, start_level=cfg.finest_scale)
 
     def refine(flow, im1, im2, level):
-        if cfg.varref_backend == "pallas":
+        if var_mod.use_pallas_varref(cfg, im1.shape[0], im1.shape[1]):
             from ..ops.pallas.varref_fused import variational_refine_fused
             return variational_refine_fused(flow, im1, im2, cfg, level)
         return var_mod.variational_refine(flow, im1, im2, cfg, level)

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import DISConfig
-from .interp import blend_windows, gather_windows, sample_patches_bilinear
+from .interp import (blend_windows, gather_windows, gather_windows_matmul,
+                     sample_patches_bilinear)
 from .patches import PatchGrid
 
 
@@ -264,13 +265,7 @@ def optimize(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
 
     started = ~state.converged    # patches frozen at warm-start never sample
 
-    def reductions(p_cur):
-        """[sum S, sum T.S, sum gx.S, sum gy.S] at midpoint mid_org + p."""
-        mid = state.mid_org + p_cur
-        if sample_offset is not None:
-            mid = mid + sample_offset
-        win, rx, ry = gather_windows(I1_s, mid[..., 0], mid[..., 1],
-                                     ps, grid.padding)
+    def finish(win, rx, ry):
         if bf16:
             rx = rx.astype(jnp.bfloat16)
             ry = ry.astype(jnp.bfloat16)
@@ -279,8 +274,77 @@ def optimize(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
         return jnp.einsum("hwk,hwki->hwi", S, W4_s,
                           preferred_element_type=jnp.float32).astype(dtype)
 
-    def gn_step(p_cur, active):
-        red = reductions(p_cur)
+    def reductions(p_cur):
+        """[sum S, sum T.S, sum gx.S, sum gy.S] at midpoint mid_org + p."""
+        mid = state.mid_org + p_cur
+        if sample_offset is not None:
+            mid = mid + sample_offset
+        win, rx, ry = gather_windows(I1_s, mid[..., 0], mid[..., 1],
+                                     ps, grid.padding)
+        return finish(win, rx, ry)
+
+    # ---- displacement-bounded envelope sampling (iterations 2..) ----
+    # Every ACCEPTED Gauss-Newton step satisfies |mid - mid_org| <=
+    # outlier_thresh (the reset at optimize.cu:66-88), and mid_org is the
+    # static grid midpoint — so from the second iteration on, windows live
+    # inside a small static per-patch envelope.  Gathering from the
+    # envelope replaces the whole-image one-hot contraction (22 MB of
+    # operand traffic per iteration at the 4K fine scale) with tiny
+    # [K, E] selects.  Patches outside the envelope are exactly the
+    # frozen ones, whose samples are masked anyway.
+    Hp, Wp = I1_pad.shape[0], I1_pad.shape[1]
+    R = int(np.ceil(cfg.outlier_thresh))
+    K = ps + 1
+    E = K + 2 * (R + 1)
+    P = n_h * n_w
+    env_ok = (sample_offset is None and E <= Hp and E <= Wp
+              and P * E * E * C * 4 <= (64 << 20))
+    if env_ok:
+        mx0, my0 = grid.midpoints()
+        sy0 = np.clip(my0.astype(np.int64).reshape(-1)
+                      + grid.padding - ps // 2 - (R + 1), 0, Hp - E)
+        sx0 = np.clip(mx0.astype(np.int64).reshape(-1)
+                      + grid.padding - ps // 2 - (R + 1), 0, Wp - E)
+        env = gather_windows_matmul(
+            I1_s, jnp.asarray(sy0, jnp.int32), jnp.asarray(sx0, jnp.int32),
+            E).reshape(P, E, E * C)
+        env_sy = jnp.asarray(sy0, jnp.int32).reshape(n_h, n_w)
+        env_sx = jnp.asarray(sx0, jnp.int32).reshape(n_h, n_w)
+        prec = jax.lax.Precision.HIGHEST
+
+        def reductions_env(p_cur):
+            mid = state.mid_org + p_cur
+            fx = jnp.floor(mid[..., 0])
+            fy = jnp.floor(mid[..., 1])
+            rx = mid[..., 0] - fx
+            ry = mid[..., 1] - fy
+            oy = (fy.astype(jnp.int32) + (grid.padding - ps // 2)
+                  - env_sy).reshape(P)
+            ox = (fx.astype(jnp.int32) + (grid.padding - ps // 2)
+                  - env_sx).reshape(P)
+            # row select [P, K, E]: e == oy + r
+            ee = jax.lax.broadcasted_iota(jnp.int32, (P, K, E), 2)
+            rr = jax.lax.broadcasted_iota(jnp.int32, (P, K, E), 1)
+            rows = (ee - rr == oy[:, None, None]).astype(env.dtype)
+            W1 = jax.lax.dot_general(
+                rows, env, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=prec).astype(env.dtype)       # [P, K, E*C]
+            # column+channel select [P, E*C, K*C]: m - n == ox*C
+            mm = jax.lax.broadcasted_iota(jnp.int32, (P, E * C, K * C), 1)
+            nn = jax.lax.broadcasted_iota(jnp.int32, (P, E * C, K * C), 2)
+            cols = (mm - nn == (ox * C)[:, None, None]).astype(env.dtype)
+            win = jax.lax.dot_general(
+                W1, cols, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=prec).astype(env.dtype)
+            win = win.reshape(n_h, n_w, K, K, C)
+            return finish(win, rx, ry)
+    else:
+        reductions_env = reductions
+
+    def gn_step(p_cur, active, red_fn):
+        red = red_fn(p_cur)
         m = red[..., 0] / N * mean_on
         dpx = red[..., 2] - m * gx_sum - gxT
         dpy = red[..., 3] - m * gy_sum - gyT
@@ -300,10 +364,15 @@ def optimize(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
         return p_cur, active & ~outlier
 
     def body(_, carry):
-        return gn_step(*carry)
+        return gn_step(*carry, reductions_env)
 
-    p_cur, _ = jax.lax.fori_loop(0, cfg.grad_descent_iter, body,
-                                 (state.p_cur, started))
+    # The first step samples at the warm start (arbitrary displacement,
+    # general gather); accepted positions afterwards are envelope-bounded.
+    p_cur, active = state.p_cur, started
+    if cfg.grad_descent_iter > 0:
+        p_cur, active = gn_step(p_cur, active, reductions)
+    p_cur, _ = jax.lax.fori_loop(1, cfg.grad_descent_iter, body,
+                                 (p_cur, active))
 
     # Final per-pixel cost at the final midpoint (reference computes it in
     # its last resample, optimize.cu:193-208); frozen-at-init patches keep

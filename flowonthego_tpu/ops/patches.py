@@ -86,20 +86,34 @@ def extract_windows(img_pad: jax.Array, grid: PatchGrid) -> jax.Array:
     (extract.cu:60-74), done for every patch at once with static slices.
     """
     ps, st = grid.patch_size, grid.steps
+    C = img_pad.shape[2]
     top = grid.padding + grid.offset_h - ps // 2
     left = grid.padding + grid.offset_w - ps // 2
     rows = (grid.n_h - 1) * st + ps
     cols = (grid.n_w - 1) * st + ps
     region = jax.lax.slice(img_pad, (top, left, 0),
-                           (top + rows, left + cols, img_pad.shape[2]))
-    # Gather the ps*ps static shifts; XLA folds these into strided slices.
+                           (top + rows, left + cols, C))
+    if ps % st == 0:
+        # Grouped form (all standard operating points have ps = 2*st):
+        # windows are k^2 contiguous reshaped tilings, so the whole
+        # extraction is 2k slices + 2 concats + 1 transpose instead of
+        # ps^2 strided slices + a ps^2-way stack.
+        k = ps // st
+        T = region.reshape(grid.n_h - 1 + k, st, cols, C)
+        rows_st = jnp.concatenate([T[a:a + grid.n_h] for a in range(k)],
+                                  axis=1)                 # [n_h, ps, cols, C]
+        X = rows_st.reshape(grid.n_h, ps, grid.n_w - 1 + k, st, C)
+        cols_st = jnp.concatenate([X[:, :, b:b + grid.n_w] for b in range(k)],
+                                  axis=3)            # [n_h, ps, n_w, ps, C]
+        return cols_st.transpose(0, 2, 1, 3, 4)
+    # Fallback: gather the ps*ps static shifts as strided slices.
     shifted = [
         region[r:r + (grid.n_h - 1) * st + 1:st,
                c:c + (grid.n_w - 1) * st + 1:st, :]
         for r in range(ps) for c in range(ps)
     ]
     stacked = jnp.stack(shifted, axis=2)  # [n_h, n_w, ps*ps, C]
-    return stacked.reshape(grid.n_h, grid.n_w, ps, ps, img_pad.shape[2])
+    return stacked.reshape(grid.n_h, grid.n_w, ps, ps, C)
 
 
 def extract_templates_and_hessians(

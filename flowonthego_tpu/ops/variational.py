@@ -27,6 +27,27 @@ EPS_COLOR = 0.001 * 0.001
 EPS_GRAD = 0.001 * 0.001
 EPS_SMOOTH = 0.001 * 0.001
 
+# VMEM budget for the fused Pallas refine: the kernel keeps ~34 h*w
+# fp32 planes resident (8 derivative planes x3 channels + work fields).
+_PALLAS_VARREF_MAX_PIXELS = 88_000
+
+
+def use_pallas_varref(cfg, h: int, w: int) -> bool:
+    """Resolve cfg.varref_backend for an h x w refined field.
+
+    "auto" picks the fused Pallas kernel (ops/pallas/varref_fused) on TPU
+    when the whole inner loop fits VMEM — the XLA stencil form issues
+    ~100 small ops per inner iteration, which at the reference's tiny
+    operating-point fields costs more in dispatch than compute.
+    """
+    import jax as _jax
+    if cfg.varref_backend == "pallas":
+        return True
+    if cfg.varref_backend == "auto":
+        return (h * w <= _PALLAS_VARREF_MAX_PIXELS
+                and _jax.default_backend() == "tpu")
+    return False
+
 
 # ---------------------------------------------------------------- derivatives
 

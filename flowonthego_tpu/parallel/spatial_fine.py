@@ -274,7 +274,8 @@ def make_fine_spatial_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int):
                 state = dis_mod.optimize(state, I1p, grid, cfg)
                 flow_full = densify_mod.densify(state, grid, cfg)
                 if cfg.use_var_ref:
-                    if cfg.varref_backend == "pallas":
+                    if var_mod.use_pallas_varref(cfg, a_full.shape[0],
+                                                 a_full.shape[1]):
                         from ..ops.pallas.varref_fused import \
                             variational_refine_fused
                         flow_full = variational_refine_fused(

@@ -1,6 +1,11 @@
 """Per-stage device timing via on-device chaining (amortizes tunnel RTT).
 
-Usage: python tools/profile_stages.py [width height]
+Usage: python tools/profile_stages.py [width height n]
+
+Note the ~25-35 ms tunnel RTT divides by the chain depth n: with the
+default n=48 the floor under every number is ~0.6 ms.  Subtract it when
+comparing stages; tools/profile_4k.py and profile_scales.py show the
+same decomposition at 4K defaults.
 """
 
 import sys
@@ -20,7 +25,8 @@ from flowonthego_tpu.ops.patches import PatchGrid, extract_templates_and_hessian
 from flowonthego_tpu.ops.pyramid import build_pyramid
 
 
-def chain_time(fn, args, n=10, trials=3):
+def chain_time(fn, args, n=None, trials=3):
+    n = n or N_CHAIN
     """Median per-iteration device time of fn(*args) -> scalar-reducible."""
 
     @jax.jit
@@ -41,9 +47,15 @@ def chain_time(fn, args, n=10, trials=3):
     return times[len(times) // 2] * 1e3
 
 
+N_CHAIN = 48
+
+
 def main():
+    global N_CHAIN
     W = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     H = int(sys.argv[2]) if len(sys.argv) > 2 else 448
+    if len(sys.argv) > 3:
+        N_CHAIN = int(sys.argv[3])
     cfg = operating_point(2, width=W)
     print(f"config: cs={cfg.coarsest_scale} fs={cfg.finest_scale} "
           f"ps={cfg.patch_size} steps={cfg.steps} iters={cfg.grad_descent_iter}")
