@@ -89,6 +89,14 @@ class DISConfig:
     # more in dispatch than in compute).
     varref_backend: str = "auto"
 
+    # Gauss-Newton envelope-loop backend: "auto" (fused Pallas kernel on
+    # TPU when the per-scale operands fit VMEM, XLA otherwise), "xla"
+    # (one dispatch chain per iteration), or "pallas" (force the fused
+    # kernel — interpret mode off-TPU, used by the equivalence tests).
+    # The fused kernel is the analogue of the reference's single
+    # persistent-loop launch (src/kernels/optimize.cu:97-243).
+    gn_backend: str = "auto"
+
     # Forward-backward consistency: optimize a complementary I1->I0 grid
     # and merge its reversed flow during densification (the CPU
     # reference's ``usefbcon``, kroeger/oflow.cpp:162-170; off in all of

@@ -32,8 +32,88 @@ import numpy as np
 
 from ..config import DISConfig
 from .interp import (blend_windows, gather_windows, gather_windows_matmul,
-                     sample_patches_bilinear)
+                     sample_patches_bilinear, use_matmul_gather)
 from .patches import PatchGrid
+
+# VMEM budget for the fused Pallas Gauss-Newton loop: operands
+# (envelope stack + weight stack + consts) plus the kernel's largest
+# intermediates must fit comfortably in the ~16 MB of VMEM.
+_GN_PALLAS_VMEM_LIMIT = 10 << 20
+
+
+def use_pallas_gn(cfg: DISConfig, n_patches: int, E: int, C: int,
+                  ps: int) -> bool:
+    """Resolve cfg.gn_backend for one scale's envelope loop.
+
+    "auto" picks the fused Pallas kernel (ops/pallas/dis_gn — the whole
+    envelope GN loop in one launch, the analogue of the reference's
+    persistent kernel optimize.cu:97-243) on TPU when the per-scale
+    operands fit VMEM; "pallas" forces it (interpret mode off-TPU).
+    """
+    if cfg.gn_backend == "pallas":
+        return True
+    if cfg.gn_backend != "auto":
+        return False
+    Pp = -(-n_patches // 128) * 128
+    K = ps + 1
+    operands = Pp * (E * E * C + 4 * ps * ps * C + 17)
+    scratch = Pp * (K * E * C + K * K * C + ps * ps * C)
+    return (jax.default_backend() == "tpu"
+            and 4 * (operands + scratch) <= _GN_PALLAS_VMEM_LIMIT)
+
+
+def _run_gn_pallas(state: "PatchState", env, env_sy, env_sx, gx_sum, gy_sum,
+                   gxT, gyT, h00, h01, h11, det, p_cur, active,
+                   grid: PatchGrid, cfg: DISConfig, E: int, K: int, C: int,
+                   mean_on: float) -> jax.Array:
+    """Pack operands patches-on-lanes and run the fused envelope loop."""
+    from .pallas.dis_gn import gn_envelope_loop
+    ps = grid.patch_size
+    n_h, n_w = active.shape
+    P = n_h * n_w
+    Pp = -(-P // 128) * 128
+    f32 = jnp.float32
+
+    env_t = jnp.pad(env.astype(f32),
+                    ((0, Pp - P), (0, 0), (0, 0))).transpose(1, 2, 0)
+
+    def pps(x):
+        return x.reshape(P, ps, ps * C)
+
+    w4 = jnp.stack([pps(jnp.ones_like(state.templates)),
+                    pps(state.templates), pps(state.tgrad_x),
+                    pps(state.tgrad_y)], 0).astype(f32)
+    w4_t = jnp.pad(w4, ((0, 0), (0, Pp - P), (0, 0), (0, 0))
+                   ).transpose(0, 2, 3, 1)
+
+    def flat(x):
+        return x.reshape(P).astype(f32)
+
+    consts = jnp.stack([
+        flat(state.mid_org[..., 0]), flat(state.mid_org[..., 1]),
+        flat(state.p_org[..., 0]), flat(state.p_org[..., 1]),
+        flat(gx_sum), flat(gy_sum), flat(gxT), flat(gyT),
+        flat(h00), flat(h01), flat(h11), flat(det),
+        flat(env_sy), flat(env_sx)], 0)
+    # Padding lanes get det = 1 so their (discarded) updates stay finite —
+    # 0 * NaN would otherwise poison the masked carry.
+    consts = jnp.pad(consts, ((0, 0), (0, Pp - P)))
+    if Pp > P:
+        consts = consts.at[11, P:].set(1.0)
+    pstate = jnp.stack([flat(p_cur[..., 0]), flat(p_cur[..., 1]),
+                        active.reshape(P).astype(f32)], 0)
+    pstate = jnp.pad(pstate, ((0, 0), (0, Pp - P)))
+
+    out = gn_envelope_loop(
+        env_t, w4_t, consts, pstate, n_iters=cfg.grad_descent_iter - 1,
+        E=E, K=K, C=C, ps=ps, padding=grid.padding,
+        thresh=cfg.outlier_thresh, l_bound=grid.l_bound,
+        ub_w=grid.u_bound_w, ub_h=grid.u_bound_h, mean_on=mean_on,
+        n_vals=float(ps * ps * C),
+        interpret=jax.default_backend() != "tpu")
+    return jnp.stack([out[0, :P].reshape(n_h, n_w),
+                      out[1, :P].reshape(n_h, n_w)],
+                     axis=-1).astype(state.templates.dtype)
 
 
 class PatchState(NamedTuple):
@@ -305,9 +385,17 @@ def optimize(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
                       + grid.padding - ps // 2 - (R + 1), 0, Hp - E)
         sx0 = np.clip(mx0.astype(np.int64).reshape(-1)
                       + grid.padding - ps // 2 - (R + 1), 0, Wp - E)
-        env = gather_windows_matmul(
-            I1_s, jnp.asarray(sy0, jnp.int32), jnp.asarray(sx0, jnp.int32),
-            E).reshape(P, E, E * C)
+        sy_t = jnp.asarray(sy0, jnp.int32)
+        sx_t = jnp.asarray(sx0, jnp.int32)
+        if use_matmul_gather(P, E, I1_pad.shape):
+            env = gather_windows_matmul(I1_s, sy_t, sx_t, E)
+        else:
+            # the stage-2 one-hot operand [P, Wp*C, E*C] would blow the
+            # byte limit at full-resolution fine scales — slice instead
+            # (starts are pre-clamped, so semantics are identical)
+            env = jax.vmap(lambda sy, sx: jax.lax.dynamic_slice(
+                I1_s, (sy, sx, 0), (E, E, C)))(sy_t, sx_t)
+        env = env.reshape(P, E, E * C)
         env_sy = jnp.asarray(sy0, jnp.int32).reshape(n_h, n_w)
         env_sx = jnp.asarray(sx0, jnp.int32).reshape(n_h, n_w)
         prec = jax.lax.Precision.HIGHEST
@@ -371,8 +459,16 @@ def optimize(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
     p_cur, active = state.p_cur, started
     if cfg.grad_descent_iter > 0:
         p_cur, active = gn_step(p_cur, active, reductions)
-    p_cur, _ = jax.lax.fori_loop(1, cfg.grad_descent_iter, body,
-                                 (p_cur, active))
+    if (env_ok and not bf16 and cfg.grad_descent_iter > 1
+            and use_pallas_gn(cfg, P, E, C, ps)):
+        # all remaining iterations in ONE Pallas launch (the analogue of
+        # the reference's persistent kernel, optimize.cu:97-243)
+        p_cur = _run_gn_pallas(state, env, env_sy, env_sx, gx_sum, gy_sum,
+                               gxT, gyT, h00, h01, h11, det, p_cur, active,
+                               grid, cfg, E, K, C, mean_on)
+    elif cfg.grad_descent_iter > 1:
+        p_cur, _ = jax.lax.fori_loop(1, cfg.grad_descent_iter, body,
+                                     (p_cur, active))
 
     # Final per-pixel cost at the final midpoint (reference computes it in
     # its last resample, optimize.cu:193-208); frozen-at-init patches keep

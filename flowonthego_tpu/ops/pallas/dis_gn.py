@@ -18,8 +18,10 @@ sublane shifts; the four Gauss-Newton reductions are plain axis sums
 against the pre-transposed weight stack.
 
 Semantics match ops/dis.optimize's envelope iterations exactly
-(optimize.cu:23-94 projection + :66-88 outlier reset); equivalence is
-asserted in tests/test_pallas_kernels.py and by the end-to-end EPE.
+(optimize.cu:23-94 projection + :66-88 outlier reset).  Wired as the TPU
+default through ``cfg.gn_backend`` (ops/dis.optimize packs the operands);
+equivalence vs the XLA envelope loop is asserted in interpret mode by
+tests/test_dis_gn_pallas.py and on device by the end-to-end EPE.
 """
 
 from __future__ import annotations
@@ -118,9 +120,11 @@ def _kernel(env_ref, w4_ref, c_ref, p_ref, o_ref, *, n_iters: int, E: int,
     px = p_ref[0:1, :]
     py = p_ref[1:2, :]
     act = p_ref[2:3, :]
-    carry = (px, py, act)
-    for _ in range(n_iters):
-        carry = body(carry)
+    # fori_loop keeps the program size independent of gd_iter (operating
+    # point 4 runs 128 iterations); the static shift loops inside body
+    # stay unrolled.
+    carry = jax.lax.fori_loop(0, n_iters, lambda _, c: body(c),
+                              (px, py, act))
     o_ref[0:1, :] = carry[0]
     o_ref[1:2, :] = carry[1]
 
