@@ -15,6 +15,10 @@ equivalent).
 ``--mode depth`` switches to 1-D stereo disparity (the reference CPU
 baseline's run_DE_* SELECTMODE=2 variant) and writes a PFM file
 (img1 = left, img2 = right; pass ``--cam 1`` for the mirrored pair).
+
+``--min-iter N`` enables the CPU baseline's 20-param-form early-exit
+semantics: past N iterations the dp/dr convergence clauses may terminate
+a patch before <gd_iter> trips (kroeger/patch.cpp:279-282).
 """
 
 from __future__ import annotations
@@ -52,19 +56,23 @@ def _parse_args(argv):
     argv, mode = _pop_flag(argv, "--mode", default="flow")
     argv, cam = _pop_flag(argv, "--cam", default="0")
     argv, channels = _pop_flag(argv, "--channels", default="rgb")
+    # CPU-baseline 20-param-form extras (kroeger/README.md:71-88): minimum
+    # GD iterations before the dp/dr early-exit clauses may fire
+    argv, min_iter = _pop_flag(argv, "--min-iter")
 
     if len(argv) < 3:
         print(__doc__)
         sys.exit(2)
     img1, img2, out = argv[0], argv[1], argv[2]
     rest = argv[3:]
-    return img1, img2, out, rest, viz, mode, int(cam), channels
+    return (img1, img2, out, rest, viz, mode, int(cam), channels,
+            None if min_iter is None else int(min_iter))
 
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     (img1_path, img2_path, out_path, rest, viz, mode, cam,
-     channels) = _parse_args(argv)
+     channels, min_iter) = _parse_args(argv)
 
     # Persistent compile cache: repeat CLI invocations skip XLA compiles.
     import jax
@@ -105,6 +113,9 @@ def main(argv=None):
         )
         if len(vals) > 12:
             verbosity = int(vals[12])
+    if min_iter is not None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, min_iter=min_iter)
 
     if verbosity > 1:
         print(f"TIME (Image loading) (ms): "
@@ -125,7 +136,13 @@ def main(argv=None):
         write_pfm(out_path, disp)
         print(f"disparity {disp.shape[1]}x{disp.shape[0]} -> {out_path}")
         return 0
-    flow = np.asarray(compute_flow(I0, I1, cfg=cfg))
+    if verbosity > 1:
+        # reference verbosity-2 parity: per-scale phase timing lines
+        # (src/oflow.cpp:346) + per-phase aggregates (printTimings)
+        from .models.dis_flow import compute_flow_timed
+        flow = np.asarray(compute_flow_timed(I0, I1, cfg=cfg))
+    else:
+        flow = np.asarray(compute_flow(I0, I1, cfg=cfg))
     if verbosity > 0:
         print(f"TIME (O.Flow Run-Time incl. compile) (ms): "
               f"{(time.perf_counter() - t1) * 1e3:.3g}")

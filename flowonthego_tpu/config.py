@@ -60,6 +60,13 @@ class DISConfig:
     dr_thresh: float = 0.95
     res_thresh: float = 0.0
 
+    # Minimum GD iterations before the dp/dr convergence clauses can fire
+    # (kroeger/oflow.h:37-38, patch.cpp:277-282).  None = grad_descent_iter
+    # (the GPU port's fixed-trip semantics — all 4 published operating
+    # points set min_iter == max_iter).  Setting min_iter < grad_descent_iter
+    # enables the CPU baseline's 20-param early-exit behavior.
+    min_iter: "Optional[int]" = None
+
     # Fixed parameters (src/params.h:49-50)
     min_errval: float = 2.0
     norm_outlier: float = 5.0    # pseudo-Huber width b

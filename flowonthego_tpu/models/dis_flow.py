@@ -157,6 +157,126 @@ def compute_flow(I0, I1, cfg: Optional[DISConfig] = None,
     return _flow_full_jit(I0, I1, cfg, h, w, pads)
 
 
+def compute_flow_timed(I0, I1, cfg: Optional[DISConfig] = None,
+                       op_point: int = 2, printer=print) -> jax.Array:
+    """Verbosity-2 diagnostic run: per-scale phase timing.
+
+    Prints the reference's canonical per-scale line
+    ``TIME (Sc: %i, #p:%6i, pconst, pinit, poptim, cflow, tvopt, total)``
+    (/root/reference/src/oflow.cpp:346) plus the per-phase aggregate
+    totals of PatGridClass::printTimings (src/patchgrid.cpp:334-345).
+
+    Runs the same ops as :func:`dis_flow_padded` but phase-by-phase with a
+    device sync between phases, so it is a profiling mode: phase costs are
+    honest, the total carries sync overhead the fused jit path does not.
+    Returns the full-resolution flow like :func:`compute_flow`.
+    """
+    import time as _time
+
+    from ..utils.timing import PhaseTimer
+
+    I0 = jnp.asarray(I0, jnp.float32)
+    I1 = jnp.asarray(I1, jnp.float32)
+    h, w = I0.shape[0], I0.shape[1]
+    if cfg is None:
+        cfg = operating_point(op_point, width=w)
+    pt, pb, pl, pr = pad_to_divisible(w, h, cfg.coarsest_scale)
+    I0p = jnp.pad(I0, ((pt, pb), (pl, pr), (0, 0)), mode="edge")
+    I1p = jnp.pad(I1, ((pt, pb), (pl, pr), (0, 0)), mode="edge")
+    H, W = I0p.shape[0], I0p.shape[1]
+
+    timer = PhaseTimer()
+
+    def timed(name):
+        return timer.phase(name)
+
+    t_all = _time.perf_counter()
+    with timed("pyramid"):
+        n_levels = cfg.coarsest_scale + 1
+        pyr0 = build_pyramid(I0p, n_levels, cfg.padding,
+                             start_level=cfg.finest_scale)
+        pyr1 = build_pyramid(I1p, n_levels, cfg.padding,
+                             start_level=cfg.finest_scale)
+    printer(f"TIME (Pyramide+Gradients) (ms): "
+            f"{timer.totals['pyramid']:.3f}")
+
+    flow = None
+    flow_bw = None
+    for sl in range(cfg.coarsest_scale, cfg.finest_scale - 1, -1):
+        w_sl, h_sl = W >> sl, H >> sl
+        grid = PatchGrid.create(cfg, w_sl, h_sl)
+        lvl0, lvl1 = pyr0[sl], pyr1[sl]
+        t_scale = _time.perf_counter()
+
+        def ms_since(t0):
+            jax.effects_barrier()
+            return (_time.perf_counter() - t0) * 1000.0
+
+        with timed("extract"):
+            t0 = _time.perf_counter()
+            templates, gx, gy, Hs = extract_templates_and_hessians(
+                lvl0.image, lvl0.grad_x, lvl0.grad_y, grid, cfg)
+            state = dis_mod.init_state(templates, gx, gy, Hs, grid)
+            state_bw = None
+            if cfg.use_fb_consistency:
+                tb, gxb, gyb, Hb = extract_templates_and_hessians(
+                    lvl1.image, lvl1.grad_x, lvl1.grad_y, grid, cfg)
+                state_bw = dis_mod.init_state(tb, gxb, gyb, Hb, grid)
+            pconst = ms_since(t0)
+        with timed("coarse"):
+            t0 = _time.perf_counter()
+            if flow is not None:
+                state = dis_mod.init_from_coarser(state, flow, grid)
+            if state_bw is not None and flow_bw is not None:
+                state_bw = dis_mod.init_from_coarser(state_bw, flow_bw, grid)
+            pinit = ms_since(t0)
+        with timed("opti"):
+            t0 = _time.perf_counter()
+            state = dis_mod.optimize(state, lvl1.image, grid, cfg)
+            if state_bw is not None:
+                state_bw = dis_mod.optimize(state_bw, lvl0.image, grid, cfg)
+            poptim = ms_since(t0)
+        with timed("aggregate"):
+            t0 = _time.perf_counter()
+            flow = densify_mod.densify(state, grid, cfg,
+                                       compl_state=state_bw)
+            if state_bw is not None and sl > cfg.finest_scale:
+                flow_bw = densify_mod.densify(state_bw, grid, cfg,
+                                              compl_state=state)
+            cflow = ms_since(t0)
+        tvopt = 0.0
+        if cfg.use_var_ref:
+            with timed("var_ref"):
+                t0 = _time.perf_counter()
+                p = cfg.padding
+                im1 = lvl0.image[p:p + h_sl, p:p + w_sl, :]
+                im2 = lvl1.image[p:p + h_sl, p:p + w_sl, :]
+                if var_mod.use_pallas_varref(cfg, h_sl, w_sl):
+                    from ..ops.pallas.varref_fused import \
+                        variational_refine_fused
+                    refine_fn = variational_refine_fused
+                else:
+                    refine_fn = var_mod.variational_refine
+                flow = refine_fn(flow, im1, im2, cfg, sl)
+                if state_bw is not None and sl > cfg.finest_scale:
+                    flow_bw = refine_fn(flow_bw, im2, im1, cfg, sl)
+                tvopt = ms_since(t0)
+        total = (_time.perf_counter() - t_scale) * 1000.0
+        printer(f"TIME (Sc: {sl}, #p:{grid.n_patches:6d}, pconst, pinit, "
+                f"poptim, cflow, tvopt, total): {pconst:8.2f} {pinit:8.2f} "
+                f"{poptim:8.2f} {cflow:8.2f} {tvopt:8.2f} -> "
+                f"{total:8.2f} ms.")
+
+    with timed("upsample"):
+        flow = upsample_flow_to_full(flow, cfg, H, W)
+        flow = jax.lax.slice(flow, (pt, pl, 0), (pt + h, pl + w, 2))
+        flow = jax.block_until_ready(flow)
+    printer(f"TIME (O.Flow Run-Time   ) (ms): "
+            f"{(_time.perf_counter() - t_all) * 1000.0:.3f}")
+    printer(timer.report())
+    return flow
+
+
 class DISFlow:
     """Object-style API mirroring OFClass: configure once, ``calc`` many.
 

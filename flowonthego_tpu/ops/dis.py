@@ -40,6 +40,15 @@ from .patches import PatchGrid
 # intermediates must fit comfortably in the ~16 MB of VMEM.
 _GN_PALLAS_VMEM_LIMIT = 10 << 20
 
+# HBM budget for the per-patch envelope stack [P, E, E, C]; above this the
+# optimizer samples each iteration with whole-image gathers instead.
+_ENVELOPE_BYTES_LIMIT = 64 << 20
+
+
+def envelope_fits(P: int, E: int, C: int) -> bool:
+    """Does the displacement-bounded envelope stack fit the HBM budget?"""
+    return P * E * E * C * 4 <= _ENVELOPE_BYTES_LIMIT
+
 
 def use_pallas_gn(cfg: DISConfig, n_patches: int, E: int, C: int,
                   ps: int) -> bool:
@@ -219,10 +228,15 @@ def _where(mask, a, b):
 
 
 def optimize_reference(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
-                       cfg: DISConfig) -> PatchState:
+                       cfg: DISConfig, sample_offset=None) -> PatchState:
     """Direct transcription of the reference loop (materializes the
     normalized residual tensor every iteration).  Kept as the behavior
-    oracle for :func:`optimize`, and used when ``res_thresh > 0``.
+    oracle for :func:`optimize`, and used when ``res_thresh > 0`` or the
+    cost is non-quadratic (L1 / pseudo-Huber).
+
+    ``sample_offset`` maps global midpoints into a local strip's frame
+    (see :func:`_sample_residual`) so these modes also run row-sharded;
+    the outlier/bounds checks stay in global coordinates.
 
     Equivalent of cu::interpolateAndComputeErr's in-kernel while loop
     (optimize.cu:97-243) + calcProjection (optimize.cu:23-94).
@@ -232,18 +246,30 @@ def optimize_reference(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
     n_vals = float(np.prod(state.templates.shape[2:]))
     out_thresh = cfg.outlier_thresh
 
+    # min_iter semantics (kroeger/oflow.h:37-38): below min_iter the dp/dr
+    # early-exit clauses are suppressed.  None = fixed-trip GPU semantics.
+    max_iter = cfg.grad_descent_iter
+    min_iter = max_iter if cfg.min_iter is None else cfg.min_iter
+
     # --- initial resample at the warm-started midpoint (count == 0) ---
     active0 = ~state.converged
-    diff, cost_px, cost = _sample_residual(state, I1_pad, grid, cfg)
+    diff, cost_px, cost = _sample_residual(state, I1_pad, grid, cfg,
+                                           sample_offset)
     diff = _where(active0, diff, state.diff)
     cost_px = _where(active0, cost_px, state.cost_px)
     mares = cost / n_vals
     newly_done = active0 & (mares <= cfg.res_thresh)
     state = state._replace(diff=diff, cost_px=cost_px,
                            converged=state.converged | newly_done)
+    # per-patch carries for the dp/dr clauses (patch.cpp:264-282):
+    # previous-iteration mares and the first-iteration |delta_p|^2
+    mares_prev = mares
+    dp_init = jnp.full_like(mares, 1e-10)
 
-    def body(_, st: PatchState) -> PatchState:
-        active = ~st.converged
+    def body(i, carry):
+        st, mares_prev, dp_init = carry
+        cnt = i + 1                      # per-patch cnt == trip count while
+        active = ~st.converged           # active (all start together)
 
         # --- projection: delta_p = H^-1 J^T diff (calcProjection) ---
         dpx = (st.tgrad_x * st.diff).sum(axis=(2, 3, 4))
@@ -272,18 +298,32 @@ def optimize_reference(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
         st = st._replace(p_cur=p_cur)
 
         # --- resample + cost at the updated midpoint ---
-        diff, cost_px, cost = _sample_residual(st, I1_pad, grid, cfg)
+        diff, cost_px, cost = _sample_residual(st, I1_pad, grid, cfg,
+                                               sample_offset)
         diff = _where(active, diff, st.diff)
         cost_px = _where(active, cost_px, st.cost_px)
         mares = cost / n_vals
 
-        # Convergence (optimize.cu:225-233): with min_iter == max_iter the
-        # only dynamic exits are the outlier reset and mares <= res_thresh.
-        done_now = active & (outlier | (mares <= cfg.res_thresh))
-        return st._replace(diff=diff, cost_px=cost_px,
-                           converged=st.converged | done_now)
+        # |delta_p|^2 of the solved step (pre-reset, patch.cpp:272); the
+        # first iteration's value becomes the dp-ratio denominator
+        dp_sq = delta_px * delta_px + delta_py * delta_py
+        dp_init = jnp.where(active & (cnt == 1), dp_sq, dp_init)
 
-    state = jax.lax.fori_loop(0, cfg.grad_descent_iter, body, state)
+        # 4-clause convergence test (patch.cpp:277-282 / optimize.cu:
+        # 225-233): continue iff under max_iter, above res_thresh, and —
+        # once past min_iter — the step and residual are still shrinking.
+        past_min = cnt >= min_iter
+        keep_going = ((cnt < max_iter) & (mares > cfg.res_thresh)
+                      & (~past_min | (dp_sq / dp_init >= cfg.dp_thresh))
+                      & (~past_min | (mares / mares_prev <= cfg.dr_thresh)))
+        done_now = active & (outlier | ~keep_going)
+        mares_prev = jnp.where(active, mares, mares_prev)
+        st = st._replace(diff=diff, cost_px=cost_px,
+                         converged=st.converged | done_now)
+        return st, mares_prev, dp_init
+
+    state, _, _ = jax.lax.fori_loop(0, cfg.grad_descent_iter, body,
+                                    (state, mares_prev, dp_init))
     return state._replace(converged=jnp.ones_like(state.converged))
 
 
@@ -311,13 +351,13 @@ def optimize(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
     final state is identical.  For res_thresh > 0 we defer to the
     reference-form loop.
     """
-    if cfg.res_thresh > 0.0 or cfg.cost_fn != "l2":
-        # non-quadratic costs transform the residual before projection;
-        # the linear-reduction shortcut only holds for plain L2
-        if sample_offset is not None:
-            raise NotImplementedError(
-                "sharded sampling requires the l2 fast path")
-        return optimize_reference(state, I1_pad, grid, cfg)
+    if (cfg.res_thresh > 0.0 or cfg.cost_fn != "l2"
+            or (cfg.min_iter is not None
+                and cfg.min_iter < cfg.grad_descent_iter)):
+        # non-quadratic costs transform the residual before projection
+        # (the linear-reduction shortcut only holds for plain L2), and the
+        # dp/dr early-exit clauses need the materialized residual too
+        return optimize_reference(state, I1_pad, grid, cfg, sample_offset)
 
     ps = grid.patch_size
     n_h, n_w = state.converged.shape
@@ -378,7 +418,7 @@ def optimize(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
     E = K + 2 * (R + 1)
     P = n_h * n_w
     env_ok = (sample_offset is None and E <= Hp and E <= Wp
-              and P * E * E * C * 4 <= (64 << 20))
+              and envelope_fits(P, E, C))
     if env_ok:
         mx0, my0 = grid.midpoints()
         sy0 = np.clip(my0.astype(np.int64).reshape(-1)

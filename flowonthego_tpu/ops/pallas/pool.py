@@ -18,10 +18,13 @@ Design (all structured around what's fast on the VPU/MXU):
     so the MXU performs both the pairing and the lane compaction.
   * Manual bf16x3 split: a = a1 + a2 + a3 with each part exactly
     bf16-representable covers all 24 fp32 mantissa bits, so three native
-    bf16 matmuls against the exactly-representable 0/1 matrix reproduce
-    the fp32 result bit-for-bit at half the cost of Precision.HIGHEST
-    (Mosaic supports only DEFAULT/HIGHEST; DEFAULT alone would round the
-    image to bf16 — ~0.5 absolute error on a 0..255 image).
+    bf16 matmuls against the exactly-representable 0/1 matrix recover
+    near-fp32 accuracy (the parts accumulate in a different order than an
+    fp32 pairwise sum, so exact bit equality is not guaranteed — the
+    equivalence test bounds the error at ~1 ulp) at half the cost of
+    Precision.HIGHEST (Mosaic supports only DEFAULT/HIGHEST; DEFAULT
+    alone would round the image to bf16 — ~0.5 absolute error on a
+    0..255 image).
 
 BW = 768 is a multiple of 2C for C in {1, 3} and of 256 (so both the
 input block and the BW/2-wide output block are lane-tile aligned);

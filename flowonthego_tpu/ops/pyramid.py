@@ -75,6 +75,14 @@ def central_diff(img: jax.Array) -> tuple[jax.Array, jax.Array]:
 _PALLAS_POOL_MIN_ELEMS = 1 << 20
 
 
+def pool_gate(size: int, h: int, w_flat: int, C: int) -> bool:
+    """Shape-eligibility for the Pallas pool (backend check is separate):
+    big enough to pay off, even height, and flat width divisible by 2*C
+    (odd widths fall back to reduce_window)."""
+    return (size >= _PALLAS_POOL_MIN_ELEMS and h % 2 == 0
+            and w_flat % (2 * C) == 0)
+
+
 def downsample_half(img: jax.Array) -> jax.Array:
     """Bilinear x0.5 downsample == 2x2 average pool (even dims).
 
@@ -87,8 +95,8 @@ def downsample_half(img: jax.Array) -> jax.Array:
     lane slicing or lane-splitting reshapes are far slower on TPU.
     """
     h, w = img.shape[0], img.shape[1]
-    if (img.ndim == 3 and img.size >= _PALLAS_POOL_MIN_ELEMS
-            and h % 2 == 0 and w % 2 == 0
+    if (img.ndim == 3
+            and pool_gate(img.size, h, w * img.shape[2], img.shape[2])
             and jax.default_backend() == "tpu"):
         from .pallas.pool import pool2x2
         return pool2x2(img)
@@ -106,7 +114,7 @@ def _downsample_half_flat(x: jax.Array, C: int) -> jax.Array:
     multi-GB relayout (see ops/pallas/pool.py docstring).
     """
     h = x.shape[0]
-    if (x.size >= _PALLAS_POOL_MIN_ELEMS and h % 2 == 0
+    if (pool_gate(x.size, h, x.shape[1], C)
             and jax.default_backend() == "tpu"):
         from .pallas.pool import pool2x2_flat
         return pool2x2_flat(x, C)

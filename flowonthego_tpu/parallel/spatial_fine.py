@@ -15,9 +15,13 @@ across the 'space' axis, per SURVEY.md §2.4's halo accounting:
 A scale is sharded when its strip is tall enough for those halos
 (fine scales — where the work is); coarser scales fall back to the
 replicated path (one small all_gather), matching the replicate-coarse /
-shard-fine design.  Variational refinement runs on gathered fields
-(sharding its per-sweep SOR halos is round-2 work); the refined flow is
-re-sliced to strips for the next scale.
+shard-fine design.  Variational refinement runs fully sharded with
+per-sweep SOR halo exchange (parallel/varref_sharded.py).  The full
+capability matrix runs sharded: forward-backward consistency (the
+backward grid uses the same halo machinery; its reversed-flow merge is a
+strip scatter folded into neighbors, :func:`_fb_merge_strip`), robust
+costs (L1 / pseudo-Huber), and res_thresh > 0 (optimize_reference
+accepts the strip sample_offset).
 
 Every step is bit-compatible with the unsharded pipeline — asserted by
 the sharded == single-device equivalence tests on the fake CPU mesh.
@@ -121,8 +125,70 @@ def _extract_strip(img_halo, gx_halo, gy_halo, grid: PatchGrid, cfg,
     return templates, gx, gy, H
 
 
+def _fb_merge_strip(state: dis_mod.PatchState, grid: PatchGrid, cfg,
+                    hl: int, margin: int, idx, axis: str,
+                    valid=None) -> jax.Array:
+    """Row-sharded complementary-grid merge (forward-backward consistency).
+
+    Strip analogue of densify._fb_merge_scatter (kroeger/patchgrid.cpp:
+    277-375): each local complementary patch scatters its NEGATED flow,
+    bilinearly spread over the 4 cells of its optimized position
+    ``mid_org + p_cur`` (global coordinates).  The displacement from the
+    patch's home row is bounded by displacement_bound + var-ref slack, so
+    all contributions land within ``margin`` rows of the home strip; the
+    margins are folded into the neighbors with the same ppermute
+    accumulate used for the overlap-add densification.
+
+    Returns a [hl, W, 3] (weight, u, v) accumulator to add to the
+    forward accumulator before normalization.
+    """
+    ps = grid.patch_size
+    w = grid.width
+    h_global = grid.height
+    pos = state.mid_org + state.p_cur                  # global coords
+    px = pos[..., 0]
+    py = pos[..., 1]
+    cx = jnp.ceil(px + 1e-5).astype(jnp.int32)
+    cy = jnp.ceil(py + 1e-5).astype(jnp.int32)
+    fx = jnp.floor(px)
+    fy = jnp.floor(py)
+    rx = (px - fx)[..., None, None]
+    ry = (py - fy)[..., None, None]
+    wbil = [rx * ry, (1 - rx) * ry, rx * (1 - ry), (1 - rx) * (1 - ry)]
+    corner_off = [(0, 0), (1, 0), (0, 1), (1, 1)]
+
+    absw = densify_mod._pixel_weights(state, cfg)
+    if valid is not None:
+        absw = jnp.where(valid[:, None, None, None], absw, 0.0)
+    u = state.p_cur[..., 0][..., None, None]
+    v = state.p_cur[..., 1][..., None, None]
+    base = jnp.stack([absw, -u * absw, -v * absw], axis=-1)
+
+    lb = -ps // 2
+    dx = jnp.arange(lb, lb + ps, dtype=jnp.int32)[None, :]
+    dy = jnp.arange(lb, lb + ps, dtype=jnp.int32)[:, None]
+    xt = cx[..., None, None] + dx                      # global  [.., ps, ps]
+    yt = cy[..., None, None] + dy
+    # reference validity box (global), kroeger/patchgrid.cpp:327-328
+    ok = (xt >= 1) & (yt >= 1) & (xt < w - 1) & (yt < h_global - 1)
+    # strip-local row incl. margin offset
+    yl = yt - idx * hl + margin
+    rows_acc = hl + 2 * margin
+    ok = ok & (yl >= 0) & (yl < rows_acc)
+
+    acc = jnp.zeros((rows_acc * w, 3), base.dtype)
+    for (ox, oy), wb in zip(corner_off, wbil):
+        lin = ((yl - oy) * w + (xt - ox)).reshape(-1)
+        vals = jnp.where(ok[..., None], wb[..., None] * base, 0.0)
+        lin = jnp.where(ok.reshape(-1), lin, rows_acc * w)   # dropped
+        acc = acc.at[lin].add(vals.reshape(-1, 3), mode="drop")
+    acc = acc.reshape(rows_acc, w, 3)
+    return exchange_accumulate_rows(acc, margin, axis)
+
+
 def _densify_strip(state: dis_mod.PatchState, grid: PatchGrid, cfg,
-                   hl: int, base_row, axis: str, valid=None) -> jax.Array:
+                   hl: int, base_row, axis: str, valid=None,
+                   compl_acc=None) -> jax.Array:
     """Overlap-add densification of local patch rows into the [hl, W, 2]
     strip; boundary contributions folded into neighbors via ppermute.
 
@@ -130,6 +196,9 @@ def _densify_strip(state: dis_mod.PatchState, grid: PatchGrid, cfg,
     midpoint (traced).  The parity overlap-add runs with static offsets in
     canvas coordinates; the canvas lands at the dynamic base offset with
     one dynamic_update_slice.
+
+    ``compl_acc``: optional [hl, W, 3] complementary (fb-merge)
+    accumulator added before normalization.
     """
     ps, st = grid.patch_size, grid.steps
     n_loc, n_w = state.converged.shape
@@ -169,6 +238,8 @@ def _densify_strip(state: dis_mod.PatchState, grid: PatchGrid, cfg,
     acc = acc[:hl + 2 * margin]
     acc = exchange_accumulate_rows(acc, margin, axis)
     acc = acc[:, margin:margin + w, :]
+    if compl_acc is not None:
+        acc = acc + compl_acc
     weight = acc[..., 0:1]
     return jnp.where(weight > 0, acc[..., 1:3] / weight, 0.0)
 
@@ -193,25 +264,29 @@ def sharded_scale_levels(cfg: DISConfig, H: int, n_space: int,
     return out
 
 
-def make_fine_spatial_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int):
+def make_fine_spatial_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int,
+                           with_diagnostics: bool = False):
     """Jitted row-sharded flow for padded [H, W, C] frames with the fine
     DIS scales computed in place under halo exchange.
 
     Returns full-resolution flow [H, W, 2] sharded over 'space'.
+
+    ``with_diagnostics=True`` additionally returns the (replicated) count
+    of patches whose target sampling or fb scatter would have reached
+    beyond the provisioned halo — i.e. where the ``_halo_slack`` budget
+    was exceeded and the clamped result may differ from the unsharded
+    pipeline.  Zero means the sharded result is exact.
     """
     n_space = mesh.shape[SPACE_AXIS]
     if H % (n_space * (2 ** cfg.coarsest_scale)) != 0:
         raise ValueError("H must divide over shards with 2^cs divisibility")
-    if cfg.use_fb_consistency:
-        raise NotImplementedError(
-            "forward-backward consistency is not supported on the sharded "
-            "path yet; use the single-device pipeline")
     hl0 = H // n_space
     sharded_levels = set(sharded_scale_levels(cfg, H, n_space))
     pad = cfg.padding
 
     def worker(i0_strip, i1_strip):
         idx = lax.axis_index(SPACE_AXIS)
+        halo_viol = jnp.int32(0)   # patches sampling beyond the halo
 
         # --- local pyramid strips (downsample needs no halo) ---
         strips = {0: (i0_strip, i1_strip)}
@@ -245,6 +320,7 @@ def make_fine_spatial_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int):
             return gx, gy
 
         flow_strip = None     # [hl_sl, W_sl, 2] at the previous (coarser) scale
+        flow_bw_strip = None  # backward chain (forward-backward consistency)
         for sl in range(cfg.coarsest_scale, cfg.finest_scale - 1, -1):
             w_sl, h_sl = W >> sl, H >> sl
             hl_sl = hl0 >> sl
@@ -255,36 +331,49 @@ def make_fine_spatial_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int):
                 # --- replicated fallback: gather, compute, re-slice ---
                 a_full = lax.all_gather(s0, SPACE_AXIS, axis=0, tiled=True)
                 b_full = lax.all_gather(s1, SPACE_AXIS, axis=0, tiled=True)
-                if flow_strip is None:
-                    coarse_full = None
-                else:
-                    coarse_full = lax.all_gather(flow_strip, SPACE_AXIS,
-                                                 axis=0, tiled=True)
                 from ..ops.pyramid import pad_constant, pad_replicate
-                I0p = pad_replicate(a_full, pad)
-                gx0, gy0 = central_diff(a_full)
                 from ..ops.patches import extract_templates_and_hessians
-                tmpl, gx, gy, Hs = extract_templates_and_hessians(
-                    I0p, pad_constant(gx0, pad), pad_constant(gy0, pad),
-                    grid, cfg)
-                state = dis_mod.init_state(tmpl, gx, gy, Hs, grid)
-                if coarse_full is not None:
-                    state = dis_mod.init_from_coarser(state, coarse_full, grid)
-                I1p = pad_replicate(b_full, pad)
-                state = dis_mod.optimize(state, I1p, grid, cfg)
-                flow_full = densify_mod.densify(state, grid, cfg)
-                if cfg.use_var_ref:
-                    if var_mod.use_pallas_varref(cfg, a_full.shape[0],
-                                                 a_full.shape[1]):
+
+                def dis_full(src, tgt, warm_strip):
+                    warm = None if warm_strip is None else lax.all_gather(
+                        warm_strip, SPACE_AXIS, axis=0, tiled=True)
+                    gx0, gy0 = central_diff(src)
+                    tmpl, gx, gy, Hs = extract_templates_and_hessians(
+                        pad_replicate(src, pad), pad_constant(gx0, pad),
+                        pad_constant(gy0, pad), grid, cfg)
+                    st = dis_mod.init_state(tmpl, gx, gy, Hs, grid)
+                    if warm is not None:
+                        st = dis_mod.init_from_coarser(st, warm, grid)
+                    return dis_mod.optimize(st, pad_replicate(tgt, pad),
+                                            grid, cfg)
+
+                def refine_full(fl, im1, im2):
+                    if var_mod.use_pallas_varref(cfg, im1.shape[0],
+                                                 im1.shape[1]):
                         from ..ops.pallas.varref_fused import \
                             variational_refine_fused
-                        flow_full = variational_refine_fused(
-                            flow_full, a_full, b_full, cfg, sl)
-                    else:
-                        flow_full = var_mod.variational_refine(
-                            flow_full, a_full, b_full, cfg, sl)
+                        return variational_refine_fused(fl, im1, im2, cfg, sl)
+                    return var_mod.variational_refine(fl, im1, im2, cfg, sl)
+
+                state = dis_full(a_full, b_full, flow_strip)
+                state_bw = None
+                if cfg.use_fb_consistency:
+                    state_bw = dis_full(b_full, a_full, flow_bw_strip)
+                flow_full = densify_mod.densify(state, grid, cfg,
+                                                compl_state=state_bw)
+                bw_full = None
+                if state_bw is not None and sl > cfg.finest_scale:
+                    bw_full = densify_mod.densify(state_bw, grid, cfg,
+                                                  compl_state=state)
+                if cfg.use_var_ref:
+                    flow_full = refine_full(flow_full, a_full, b_full)
+                    if bw_full is not None:
+                        bw_full = refine_full(bw_full, b_full, a_full)
                 flow_strip = lax.dynamic_slice(
                     flow_full, (idx * hl_sl, 0, 0), (hl_sl, w_sl, 2))
+                if bw_full is not None:
+                    flow_bw_strip = lax.dynamic_slice(
+                        bw_full, (idx * hl_sl, 0, 0), (hl_sl, w_sl, 2))
                 continue
 
             # --- sharded scale ---
@@ -304,48 +393,98 @@ def make_fine_spatial_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int):
             row0_local = (grid.offset_h + starts_t * grid.steps
                           - idx * hl_sl)
 
-            img0h = halo_padded(s0, pad)
-            g0 = exchange_rows(s0, pad, SPACE_AXIS, mode="edge")
-            gx_h, gy_h = grads_halo(g0, hl_sl, w_sl, pad)
-            tmpl, gx, gy, Hs = _extract_strip(img0h, gx_h, gy_h, grid, cfg,
-                                              row0_local, n_loc)
-
-            state = dis_mod.PatchState(
-                p_cur=jnp.zeros((n_loc, grid.n_w, 2), tmpl.dtype),
-                p_org=jnp.zeros((n_loc, grid.n_w, 2), tmpl.dtype),
-                mid_org=mid_org.astype(tmpl.dtype),
-                H=Hs, templates=tmpl, tgrad_x=gx, tgrad_y=gy,
-                converged=jnp.broadcast_to(~valid[:, None],
-                                           (n_loc, grid.n_w)),
-                cost_px=jnp.zeros_like(tmpl), diff=jnp.zeros_like(tmpl))
-
-            if flow_strip is not None:
-                # nearest warm start: coarse local row = my//2 - strip row0
-                iy = (my.astype(jnp.int32) // 2) - idx * (hl_sl // 2)
-                ix = (np.asarray(mx[0]).astype(np.int32) // 2)
-                p = flow_strip[jnp.clip(iy, 0, flow_strip.shape[0] - 1)][
-                    :, ix, :] * 2.0
-                mid = state.mid_org + p
-                oob = ((mid[..., 0] < grid.l_bound)
-                       | (mid[..., 1] < grid.l_bound)
-                       | (mid[..., 0] > grid.u_bound_w)
-                       | (mid[..., 1] > grid.u_bound_h))
-                state = state._replace(p_cur=p, p_org=p,
-                                       converged=state.converged | oob)
-
             halo_t = (int(math.ceil(displacement_bound(cfg, sl))) + pad
                       + _halo_slack(cfg))
-            img1h = halo_padded(s1, halo_t)
-            # sampling happens in strip coordinates: local row 0 of img1h
-            # is global padded row idx*hl_sl - (halo_t - pad); bounds
-            # checks inside optimize stay in global coordinates.
-            row_off = ((halo_t - pad) - idx * hl_sl).astype(tmpl.dtype)
-            sample_offset = jnp.stack([jnp.zeros_like(row_off), row_off])
-            state = dis_mod.optimize(state, img1h, grid, cfg,
-                                     sample_offset=sample_offset)
 
+            def row_reach_violations(p, mask):
+                """Count patches whose patch rows at displacement ``p``
+                reach beyond the provisioned halo_t rows around this strip
+                (where sampling clamps / scatters drop — silent divergence
+                from the unsharded pipeline)."""
+                ps = grid.patch_size
+                rows = mid_org[..., 1] + p[..., 1]       # global image rows
+                top = rows - ps // 2 - 1
+                bot = rows + ps // 2 + 1
+                lo = idx * hl_sl - (halo_t - pad)
+                hi = (idx + 1) * hl_sl + (halo_t - pad)
+                bad = ((top < lo) | (bot > hi)) & mask & valid[:, None]
+                return bad.sum(dtype=jnp.int32)
+
+            def run_strip(src, tgt, warm_strip):
+                """Extract from ``src``, warm-start, optimize vs ``tgt``."""
+                imgh = halo_padded(src, pad)
+                g = exchange_rows(src, pad, SPACE_AXIS, mode="edge")
+                gx_h, gy_h = grads_halo(g, hl_sl, w_sl, pad)
+                tmpl, gx, gy, Hs = _extract_strip(imgh, gx_h, gy_h, grid,
+                                                  cfg, row0_local, n_loc)
+                st = dis_mod.PatchState(
+                    p_cur=jnp.zeros((n_loc, grid.n_w, 2), tmpl.dtype),
+                    p_org=jnp.zeros((n_loc, grid.n_w, 2), tmpl.dtype),
+                    mid_org=mid_org.astype(tmpl.dtype),
+                    H=Hs, templates=tmpl, tgrad_x=gx, tgrad_y=gy,
+                    converged=jnp.broadcast_to(~valid[:, None],
+                                               (n_loc, grid.n_w)),
+                    cost_px=jnp.zeros_like(tmpl), diff=jnp.zeros_like(tmpl))
+
+                if warm_strip is not None:
+                    # nearest warm start: coarse local row = my//2 - row0
+                    iy = (my.astype(jnp.int32) // 2) - idx * (hl_sl // 2)
+                    ix = (np.asarray(mx[0]).astype(np.int32) // 2)
+                    p = warm_strip[jnp.clip(iy, 0, warm_strip.shape[0] - 1)][
+                        :, ix, :] * 2.0
+                    mid = st.mid_org + p
+                    oob = ((mid[..., 0] < grid.l_bound)
+                           | (mid[..., 1] < grid.l_bound)
+                           | (mid[..., 0] > grid.u_bound_w)
+                           | (mid[..., 1] > grid.u_bound_h))
+                    st = st._replace(p_cur=p, p_org=p,
+                                     converged=st.converged | oob)
+
+                imgth = halo_padded(tgt, halo_t)
+                # sampling happens in strip coordinates: local row 0 of
+                # imgth is global padded row idx*hl_sl - (halo_t - pad);
+                # bounds checks inside optimize stay in global coordinates.
+                row_off = ((halo_t - pad) - idx * hl_sl).astype(tmpl.dtype)
+                sample_offset = jnp.stack([jnp.zeros_like(row_off), row_off])
+                # GN steps accepted by the outlier check stay within
+                # outlier_thresh <= halo_t - pad of the grid row; only the
+                # warm start (2x a possibly var-refined coarser flow) can
+                # outrun the halo — count those.
+                viol = row_reach_violations(st.p_cur, ~st.converged)
+                return dis_mod.optimize(st, imgth, grid, cfg,
+                                        sample_offset=sample_offset), viol
+
+            state, v = run_strip(s0, s1, flow_strip)
+            halo_viol = halo_viol + v
+            state_bw = None
+            if cfg.use_fb_consistency:
+                state_bw, v = run_strip(s1, s0, flow_bw_strip)
+                halo_viol = halo_viol + v
+
+            compl_acc = None
+            if state_bw is not None:
+                # fb scatter positions are mid_org + p_cur for every valid
+                # patch (converged or not) — check their reach too
+                halo_viol = (halo_viol
+                             + row_reach_violations(
+                                 state_bw.p_cur,
+                                 jnp.ones_like(state_bw.converged))
+                             + row_reach_violations(
+                                 state.p_cur,
+                                 jnp.ones_like(state.converged)))
+                compl_acc = _fb_merge_strip(state_bw, grid, cfg, hl_sl,
+                                            halo_t, idx, SPACE_AXIS,
+                                            valid=valid)
             flow_strip = _densify_strip(state, grid, cfg, hl_sl,
-                                        row0_local, SPACE_AXIS, valid=valid)
+                                        row0_local, SPACE_AXIS, valid=valid,
+                                        compl_acc=compl_acc)
+            if state_bw is not None and sl > cfg.finest_scale:
+                compl_fwd = _fb_merge_strip(state, grid, cfg, hl_sl,
+                                            halo_t, idx, SPACE_AXIS,
+                                            valid=valid)
+                flow_bw_strip = _densify_strip(
+                    state_bw, grid, cfg, hl_sl, row0_local, SPACE_AXIS,
+                    valid=valid, compl_acc=compl_fwd)
 
             if cfg.use_var_ref:
                 # fully sharded refinement: per-sweep SOR halo exchange
@@ -355,18 +494,28 @@ def make_fine_spatial_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int):
                 flow_strip = variational_refine_sharded(
                     flow_strip, s0, s1, cfg, sl, SPACE_AXIS, idx, hl_sl,
                     h_sl, warp_halo)
+                if state_bw is not None and sl > cfg.finest_scale:
+                    flow_bw_strip = variational_refine_sharded(
+                        flow_bw_strip, s1, s0, cfg, sl, SPACE_AXIS, idx,
+                        hl_sl, h_sl, warp_halo)
 
         # --- strip upsample to full resolution ---
         fs = cfg.finest_scale
         if fs == 0:
-            return flow_strip
-        scale = float(2 ** fs)
-        flow_small = lax.all_gather(flow_strip, SPACE_AXIS, axis=0,
-                                    tiled=True)
-        return resize_rows_strip(flow_small * scale, scale, scale,
-                                 lax.axis_index(SPACE_AXIS) * hl0, hl0, W)
+            flow_out = flow_strip
+        else:
+            scale = float(2 ** fs)
+            flow_small = lax.all_gather(flow_strip, SPACE_AXIS, axis=0,
+                                        tiled=True)
+            flow_out = resize_rows_strip(flow_small * scale, scale, scale,
+                                         lax.axis_index(SPACE_AXIS) * hl0,
+                                         hl0, W)
+        if with_diagnostics:
+            return flow_out, lax.psum(halo_viol, SPACE_AXIS)
+        return flow_out
 
+    out_specs = (P(SPACE_AXIS), P()) if with_diagnostics else P(SPACE_AXIS)
     sharded = shard_map(worker, mesh=mesh,
                         in_specs=(P(SPACE_AXIS), P(SPACE_AXIS)),
-                        out_specs=P(SPACE_AXIS), check_vma=False)
+                        out_specs=out_specs, check_vma=False)
     return jax.jit(sharded)

@@ -77,3 +77,63 @@ def test_fast_mean_norm_off(rng):
     fast = dis_mod.optimize(state, I1, grid, cfg)
     np.testing.assert_allclose(np.asarray(fast.p_cur), np.asarray(ref.p_cur),
                                rtol=1e-3, atol=2e-3)
+
+
+def test_min_iter_none_equals_fixed_trip(rng):
+    """min_iter=None (fixed-trip GPU semantics) == min_iter=max_iter."""
+    import dataclasses
+    cfg = DISConfig(patch_size=8, patch_stride=0.4, grad_descent_iter=12)
+    img0, img1 = _images(rng, 40, 56)
+    state, I1, grid = _setup(img0, img1, cfg)
+    a = dis_mod.optimize_reference(state, I1, grid, cfg)
+    cfg_b = dataclasses.replace(cfg, min_iter=12)
+    b = dis_mod.optimize_reference(state, I1, grid, cfg_b)
+    np.testing.assert_array_equal(np.asarray(a.p_cur), np.asarray(b.p_cur))
+
+
+def test_min_iter_dp_clause_stops_after_first_iter(rng):
+    """With min_iter=1 and an impossible dp_thresh, every patch exits at
+    count 1 — identical to running a single GD iteration
+    (kroeger/patch.cpp:279-282 semantics)."""
+    import dataclasses
+    cfg = DISConfig(patch_size=8, patch_stride=0.4, grad_descent_iter=12,
+                    min_iter=1, dp_thresh=1e10)
+    img0, img1 = _images(rng, 40, 56)
+    state, I1, grid = _setup(img0, img1, cfg)
+    early = dis_mod.optimize(state, I1, grid, cfg)
+    cfg_one = dataclasses.replace(cfg, grad_descent_iter=1, min_iter=None,
+                                  dp_thresh=0.0025)
+    one = dis_mod.optimize_reference(state, I1, grid, cfg_one)
+    np.testing.assert_allclose(np.asarray(early.p_cur),
+                               np.asarray(one.p_cur), atol=1e-6)
+
+
+def test_min_iter_disabled_clauses_match_fixed_trip(rng):
+    """min_iter=1 with dp_thresh=0 and dr_thresh=inf never fires the
+    early exits: identical to the fixed-trip loop."""
+    cfg = DISConfig(patch_size=8, patch_stride=0.4, grad_descent_iter=12,
+                    min_iter=1, dp_thresh=0.0, dr_thresh=1e10)
+    img0, img1 = _images(rng, 40, 56)
+    state, I1, grid = _setup(img0, img1, cfg)
+    a = dis_mod.optimize(state, I1, grid, cfg)
+    cfg_fixed = DISConfig(patch_size=8, patch_stride=0.4,
+                          grad_descent_iter=12)
+    b = dis_mod.optimize_reference(state, I1, grid, cfg_fixed)
+    np.testing.assert_allclose(np.asarray(a.p_cur), np.asarray(b.p_cur),
+                               atol=1e-6)
+
+
+def test_min_iter_dr_clause_freezes_nonimproving(rng):
+    """dr_thresh=0 freezes every patch the moment its residual stops
+    IMPROVING by definition (ratio > 0 always) once past min_iter=1 —
+    again equal to one iteration."""
+    cfg = DISConfig(patch_size=8, patch_stride=0.4, grad_descent_iter=12,
+                    min_iter=1, dr_thresh=0.0)
+    img0, img1 = _images(rng, 40, 56)
+    state, I1, grid = _setup(img0, img1, cfg)
+    early = dis_mod.optimize(state, I1, grid, cfg)
+    one = dis_mod.optimize_reference(
+        state, I1, grid, DISConfig(patch_size=8, patch_stride=0.4,
+                                   grad_descent_iter=1))
+    np.testing.assert_allclose(np.asarray(early.p_cur),
+                               np.asarray(one.p_cur), atol=1e-6)

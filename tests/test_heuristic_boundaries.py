@@ -1,0 +1,131 @@
+"""Boundary pins for every branch-crossover heuristic.
+
+Each backend/algorithm switch in the package is guarded by a size
+constant.  These tests (a) pin the flip point at +-1 around each
+constant so an accidental change to a constant breaks CI, and (b) assert
+the branches AGREE numerically where both can run, so a flipped branch
+can never silently change results.
+
+Constants covered:
+  * ops/interp._ONEHOT_BYTES_LIMIT      (one-hot MXU gather vs dyn-slice)
+  * ops/dis._ENVELOPE_BYTES_LIMIT       (envelope sampling vs full gather)
+  * ops/dis._GN_PALLAS_VMEM_LIMIT       (fused Pallas GN vs XLA loop)
+  * ops/variational._PALLAS_VARREF_MAX_PIXELS (fused refine vs stencils)
+  * ops/pyramid._PALLAS_POOL_MIN_ELEMS  (Pallas pool vs reduce_window)
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flowonthego_tpu.config import DISConfig
+from flowonthego_tpu.ops import dis as dis_mod
+from flowonthego_tpu.ops import interp as interp_mod
+from flowonthego_tpu.ops import pyramid as pyr_mod
+from flowonthego_tpu.ops import variational as var_mod
+
+
+# ------------------------------------------------------------- flip points
+
+def test_onehot_gather_flip_point():
+    img_shape = (64, 64, 3)
+    per_patch = interp_mod._onehot_cost_bytes(1, 9, img_shape)
+    p_max = interp_mod._ONEHOT_BYTES_LIMIT // per_patch
+    assert interp_mod.use_matmul_gather(p_max, 9, img_shape)
+    assert not interp_mod.use_matmul_gather(p_max + 1, 9, img_shape)
+
+
+def test_envelope_flip_point():
+    E, C = 19, 3
+    p_max = dis_mod._ENVELOPE_BYTES_LIMIT // (E * E * C * 4)
+    assert dis_mod.envelope_fits(p_max, E, C)
+    assert not dis_mod.envelope_fits(p_max + 1, E, C)
+
+
+def test_varref_flip_point(monkeypatch):
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    cfg = DISConfig(varref_backend="auto")
+    lim = var_mod._PALLAS_VARREF_MAX_PIXELS
+    assert var_mod.use_pallas_varref(cfg, 1, lim)
+    assert not var_mod.use_pallas_varref(cfg, 1, lim + 1)
+    forced = DISConfig(varref_backend="pallas")
+    assert var_mod.use_pallas_varref(forced, 1, lim + 1) is True
+
+
+def test_gn_pallas_flip_point(monkeypatch):
+    cfg = DISConfig(gn_backend="auto")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    ps, C, E = 8, 3, 19
+    K = ps + 1
+
+    def bytes_for(P):
+        Pp = -(-P // 128) * 128
+        operands = Pp * (E * E * C + 4 * ps * ps * C + 17)
+        scratch = Pp * (K * E * C + K * K * C + ps * ps * C)
+        return 4 * (operands + scratch)
+
+    # find the last 128-block under the limit
+    P = 128
+    while bytes_for(P + 128) <= dis_mod._GN_PALLAS_VMEM_LIMIT:
+        P += 128
+    assert dis_mod.use_pallas_gn(cfg, P, E, C, ps)
+    assert not dis_mod.use_pallas_gn(cfg, P + 128, E, C, ps)
+
+
+def test_pool_gate_flip_point():
+    lim = pyr_mod._PALLAS_POOL_MIN_ELEMS
+    assert pyr_mod.pool_gate(lim, 1024, lim // 1024, 1)
+    assert not pyr_mod.pool_gate(lim - 1, 1024, lim // 1024, 1)
+    assert not pyr_mod.pool_gate(lim, 1023, lim // 1024, 1)   # odd height
+    assert not pyr_mod.pool_gate(lim, 1024, 513, 1)           # odd width
+    assert not pyr_mod.pool_gate(lim, 1024, 512 * 3 + 3, 3)   # w%2C != 0
+
+
+# ------------------------------------------------- branch result agreement
+
+def _patch_problem(rng, h=64, w=96):
+    from scipy.ndimage import gaussian_filter
+    from flowonthego_tpu.ops.patches import (PatchGrid,
+                                             extract_templates_and_hessians)
+    from flowonthego_tpu.ops.pyramid import (central_diff, pad_constant,
+                                             pad_replicate)
+    cfg = DISConfig(coarsest_scale=0, finest_scale=0, grad_descent_iter=8)
+    I0 = gaussian_filter(rng.standard_normal((h, w, 3)).astype(np.float32),
+                         (2, 2, 0)) * 120 + 128
+    I1 = np.roll(I0, 2, axis=1)
+    grid = PatchGrid.create(cfg, w, h)
+    I0p = pad_replicate(jnp.asarray(I0), cfg.padding)
+    gx, gy = central_diff(jnp.asarray(I0))
+    tmpl, tgx, tgy, Hs = extract_templates_and_hessians(
+        I0p, pad_constant(gx, cfg.padding), pad_constant(gy, cfg.padding),
+        grid, cfg)
+    state = dis_mod.init_state(tmpl, tgx, tgy, Hs, grid)
+    I1p = pad_replicate(jnp.asarray(I1), cfg.padding)
+    return cfg, grid, state, I1p
+
+
+def test_envelope_branches_agree(rng, monkeypatch):
+    """optimize() with the envelope disabled (limit=0) must equal the
+    envelope path — flipping _ENVELOPE_BYTES_LIMIT can't change results."""
+    cfg, grid, state, I1p = _patch_problem(rng)
+    out_env = dis_mod.optimize(state, I1p, grid, cfg)
+    monkeypatch.setattr(dis_mod, "_ENVELOPE_BYTES_LIMIT", 0)
+    out_full = dis_mod.optimize(state, I1p, grid, cfg)
+    np.testing.assert_allclose(np.asarray(out_env.p_cur),
+                               np.asarray(out_full.p_cur),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_onehot_gather_branches_agree(rng, monkeypatch):
+    """Full optimize under forced dynamic-slice gathers equals the
+    default — flipping _ONEHOT_BYTES_LIMIT can't change results."""
+    cfg, grid, state, I1p = _patch_problem(rng)
+    out_a = dis_mod.optimize(state, I1p, grid, cfg)
+    monkeypatch.setattr(interp_mod, "_ONEHOT_BYTES_LIMIT", 0)
+    out_b = dis_mod.optimize(state, I1p, grid, cfg)
+    np.testing.assert_allclose(np.asarray(out_a.p_cur),
+                               np.asarray(out_b.p_cur),
+                               rtol=1e-5, atol=1e-5)
