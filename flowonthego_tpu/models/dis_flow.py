@@ -60,6 +60,23 @@ def dis_flow_padded(I0: jax.Array, I1: jax.Array, cfg: DISConfig,
     n_levels = cfg.coarsest_scale + 1
     pyr0 = build_pyramid(I0, n_levels, cfg.padding, start_level=cfg.finest_scale)
     pyr1 = build_pyramid(I1, n_levels, cfg.padding, start_level=cfg.finest_scale)
+    return dis_flow_from_pyramids(pyr0, pyr1, cfg, init_flow=init_flow,
+                                  level_offset=level_offset)
+
+
+def dis_flow_from_pyramids(pyr0, pyr1, cfg: DISConfig,
+                           init_flow: Optional[jax.Array] = None,
+                           level_offset: int = 0) -> jax.Array:
+    """DIS pipeline on prebuilt pyramids (see :func:`dis_flow_padded`).
+
+    Separated so video streaming can build each frame's pyramid ONCE and
+    reuse it for two consecutive pairs (frame t is I1 of pair t-1 and I0
+    of pair t) — the reference rebuilds both pyramids per pair
+    (oflow.cpp:189-196), paying the dominant 4K cost twice per frame.
+    """
+    lvl_c = pyr0[cfg.coarsest_scale]
+    H = lvl_c.image.shape[0] - 2 * cfg.padding << cfg.coarsest_scale
+    W = lvl_c.image.shape[1] - 2 * cfg.padding << cfg.coarsest_scale
 
     def refine(flow, im1, im2, level):
         if var_mod.use_pallas_varref(cfg, im1.shape[0], im1.shape[1]):

@@ -60,38 +60,54 @@ def make_data_parallel_flow(mesh: Mesh, cfg: DISConfig, full_res: bool = True):
 
 def stream_flow(frames: Iterator[np.ndarray], cfg: DISConfig,
                 full_res: bool = True, fetch: bool = True):
-    """Sequential video streaming with flow warm-starting.
+    """Sequential video streaming with flow warm-starting + pyramid reuse.
 
-    Carries the previous pair's flow (downsampled to the coarsest-scale
-    warm-start resolution) as ``init_flow`` — the checkpoint/resume
-    analogue of the reference (SURVEY.md §5, oflow.cpp:268-271).
+    Carries two things frame to frame:
+      * the previous pair's flow (downsampled to the coarsest-scale
+        warm-start resolution) as ``init_flow`` — the checkpoint/resume
+        analogue of the reference (SURVEY.md §5, oflow.cpp:268-271);
+      * the previous frame's PYRAMID: frame t is I1 of pair t-1 and I0
+        of pair t, so each pyramid is built once and used twice.  The
+        reference rebuilds both pyramids every pair (oflow.cpp:189-196)
+        — at 4K that is the single largest per-frame cost paid twice.
     """
+    from ..models.dis_flow import dis_flow_from_pyramids
+    from ..ops.pyramid import build_pyramid
+
+    n_levels = cfg.coarsest_scale + 1
+
+    @jax.jit
+    def pyramid(I):
+        return build_pyramid(I, n_levels, cfg.padding,
+                             start_level=cfg.finest_scale)
 
     @functools.partial(jax.jit, static_argnames=())
-    def step(I0, I1, init_flow):
-        flow = dis_flow_padded(I0, I1, cfg, init_flow=init_flow)
-        out = (upsample_flow_to_full(flow, cfg, I0.shape[0], I0.shape[1])
+    def step(pyr0, I1, init_flow):
+        pyr1 = build_pyramid(I1, n_levels, cfg.padding,
+                             start_level=cfg.finest_scale)
+        flow = dis_flow_from_pyramids(pyr0, pyr1, cfg, init_flow=init_flow)
+        out = (upsample_flow_to_full(flow, cfg, I1.shape[0], I1.shape[1])
                if full_res else flow)
         # warm start for the next pair: halve resolution of the finest
         # flow down to 1/2^(cs+1) (init is read at floor(mid/2) x2).
-        init_h = I0.shape[0] >> (cfg.coarsest_scale + 1)
-        init_w = I0.shape[1] >> (cfg.coarsest_scale + 1)
+        init_h = I1.shape[0] >> (cfg.coarsest_scale + 1)
+        init_w = I1.shape[1] >> (cfg.coarsest_scale + 1)
         nxt = jax.image.resize(flow / (2.0 ** (cfg.coarsest_scale + 1
                                                - cfg.finest_scale)),
                                (init_h, init_w, 2), method="linear")
-        return out, nxt
+        return out, pyr1, nxt
 
-    prev = None
+    pyr = None
     init = None
     for frame in frames:
         cur = jnp.asarray(frame, jnp.float32)
-        if prev is not None:
-            if init is None:
-                init_h = cur.shape[0] >> (cfg.coarsest_scale + 1)
-                init_w = cur.shape[1] >> (cfg.coarsest_scale + 1)
-                init = jnp.zeros((init_h, init_w, 2), jnp.float32)
-            out, init = step(prev, cur, init)
-            # fetch=False keeps flows device-resident (the consumer decides
-            # when to sync) — host transfer can dominate on slow links.
-            yield np.asarray(out) if fetch else out
-        prev = cur
+        if pyr is None:
+            pyr = pyramid(cur)
+            init_h = cur.shape[0] >> (cfg.coarsest_scale + 1)
+            init_w = cur.shape[1] >> (cfg.coarsest_scale + 1)
+            init = jnp.zeros((init_h, init_w, 2), jnp.float32)
+            continue
+        out, pyr, init = step(pyr, cur, init)
+        # fetch=False keeps flows device-resident (the consumer decides
+        # when to sync) — host transfer can dominate on slow links.
+        yield np.asarray(out) if fetch else out
