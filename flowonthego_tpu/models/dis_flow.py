@@ -156,6 +156,30 @@ def _flow_full_jit(I0, I1, cfg: DISConfig, orig_h: int, orig_w: int, pads):
     return jax.lax.slice(flow, (pt, pl, 0), (pt + orig_h, pl + orig_w, 2))
 
 
+def validate_image_pair(I0, I1, what: str = "image") -> None:
+    """Fail fast with a comprehensible error on malformed input pairs.
+
+    The reference CLI exits at image load when a frame is missing or
+    mismatched (run_dense.cpp:137-151); a mismatched pair fed straight to
+    the jitted pipeline would instead surface as a shape error deep inside
+    XLA (or silently broadcast).  One check at the API boundary.
+    """
+    s0, s1 = tuple(I0.shape), tuple(I1.shape)
+    if len(s0) != 3:
+        raise ValueError(
+            f"{what} must be [H, W, C] (3-dimensional), got shape {s0}")
+    if s0 != s1:
+        raise ValueError(
+            f"{what} pair shapes differ: {s0} vs {s1} — both frames must "
+            "share height, width, and channel count")
+    if s0[2] not in (1, 3):
+        raise ValueError(
+            f"{what} must have 1 (gray/gradmag) or 3 (RGB/BGR) channels, "
+            f"got {s0[2]}; see flowonthego_tpu.ops.channels.prepare_input")
+    if s0[0] < 2 or s0[1] < 2:
+        raise ValueError(f"{what} too small: {s0[0]}x{s0[1]}")
+
+
 def compute_flow(I0, I1, cfg: Optional[DISConfig] = None,
                  op_point: int = 2) -> jax.Array:
     """End-to-end dense flow at input resolution.
@@ -165,6 +189,7 @@ def compute_flow(I0, I1, cfg: Optional[DISConfig] = None,
     Pads to 2^coarsest divisibility (replicate, run_dense.cpp:231-253),
     runs the pipeline, upsamples, and crops back to [H, W, 2].
     """
+    validate_image_pair(I0, I1)
     I0 = jnp.asarray(I0, jnp.float32)
     I1 = jnp.asarray(I1, jnp.float32)
     h, w = I0.shape[0], I0.shape[1]

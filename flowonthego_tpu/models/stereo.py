@@ -120,6 +120,8 @@ def _disparity_full_jit(I0, I1, cfg, cam_lr, orig_h, orig_w, pads):
 def compute_disparity(I_left, I_right, cfg: Optional[DISConfig] = None,
                       op_point: int = 2, cam_lr: int = 0) -> jax.Array:
     """End-to-end dense disparity at input resolution ([H, W])."""
+    from .dis_flow import validate_image_pair
+    validate_image_pair(I_left, I_right, what="stereo image")
     I_left = jnp.asarray(I_left, jnp.float32)
     I_right = jnp.asarray(I_right, jnp.float32)
     h, w = I_left.shape[0], I_left.shape[1]

@@ -65,10 +65,13 @@ def use_pallas_gn(cfg: DISConfig, n_patches: int, E: int, C: int,
         return False
     Pp = -(-n_patches // 128) * 128
     K = ps + 1
-    operands = Pp * (E * E * C + 4 * ps * ps * C + 17)
-    scratch = Pp * (K * E * C + K * K * C + ps * ps * C)
+    # bf16 sampling stores env + weight stack at half width (upcast on
+    # read inside the kernel); scalar state and scratch stay fp32.
+    item = 2 if cfg.dtype == "bfloat16" else 4
+    operands = item * Pp * (E * E * C + 4 * ps * ps * C) + 4 * Pp * 17
+    scratch = 4 * Pp * (K * E * C + K * K * C + ps * ps * C)
     return (jax.default_backend() == "tpu"
-            and 4 * (operands + scratch) <= _GN_PALLAS_VMEM_LIMIT)
+            and operands + scratch <= _GN_PALLAS_VMEM_LIMIT)
 
 
 def _run_gn_pallas(state: "PatchState", env, env_sy, env_sx, gx_sum, gy_sum,
@@ -82,16 +85,19 @@ def _run_gn_pallas(state: "PatchState", env, env_sy, env_sx, gx_sum, gy_sum,
     P = n_h * n_w
     Pp = -(-P // 128) * 128
     f32 = jnp.float32
+    # Sampling operands keep the envelope's dtype (bf16 under
+    # cfg.dtype="bfloat16" — half the VMEM footprint, upcast in-kernel);
+    # everything scalar stays fp32.
+    samp = env.dtype
 
-    env_t = jnp.pad(env.astype(f32),
-                    ((0, Pp - P), (0, 0), (0, 0))).transpose(1, 2, 0)
+    env_t = jnp.pad(env, ((0, Pp - P), (0, 0), (0, 0))).transpose(1, 2, 0)
 
     def pps(x):
         return x.reshape(P, ps, ps * C)
 
     w4 = jnp.stack([pps(jnp.ones_like(state.templates)),
                     pps(state.templates), pps(state.tgrad_x),
-                    pps(state.tgrad_y)], 0).astype(f32)
+                    pps(state.tgrad_y)], 0).astype(samp)
     w4_t = jnp.pad(w4, ((0, 0), (0, Pp - P), (0, 0), (0, 0))
                    ).transpose(0, 2, 3, 1)
 
@@ -499,7 +505,7 @@ def optimize(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
     p_cur, active = state.p_cur, started
     if cfg.grad_descent_iter > 0:
         p_cur, active = gn_step(p_cur, active, reductions)
-    if (env_ok and not bf16 and cfg.grad_descent_iter > 1
+    if (env_ok and cfg.grad_descent_iter > 1
             and use_pallas_gn(cfg, P, E, C, ps)):
         # all remaining iterations in ONE Pallas launch (the analogue of
         # the reference's persistent kernel, optimize.cu:97-243)

@@ -55,8 +55,10 @@ def _kernel(env_ref, w4_ref, c_ref, p_ref, o_ref, *, n_iters: int, E: int,
     env_sy = c_ref[12:13, :]
     env_sx = c_ref[13:14, :]
 
-    env = env_ref[:]          # [E, EC, P]
-    w4 = w4_ref[:]            # [4, ps, ps*C, P]
+    # bf16 sampling mode stores env/w4 at half width in VMEM (the operands
+    # dominate the kernel's footprint); all arithmetic stays fp32.
+    env = env_ref[:].astype(jnp.float32)   # [E, EC, P]
+    w4 = w4_ref[:].astype(jnp.float32)     # [4, ps, ps*C, P]
     KC = K * C
     n_shift = E - K + 1
 

@@ -99,8 +99,23 @@ def stream_flow(frames: Iterator[np.ndarray], cfg: DISConfig,
 
     pyr = None
     init = None
+    shape0 = None
     for frame in frames:
         cur = jnp.asarray(frame, jnp.float32)
+        if cur.ndim != 3 or cur.shape[2] not in (1, 3):
+            raise ValueError(
+                f"stream frame must be [H, W, 1|3], got {tuple(cur.shape)}")
+        if shape0 is None:
+            shape0 = cur.shape
+            div = 2 ** cfg.coarsest_scale
+            if shape0[0] % div or shape0[1] % div:
+                raise ValueError(
+                    f"stream frames must be pre-padded to 2^{cfg.coarsest_scale}"
+                    f" divisibility, got {shape0[0]}x{shape0[1]}")
+        elif cur.shape != shape0:
+            raise ValueError(
+                f"stream frame shape changed: {tuple(cur.shape)} vs "
+                f"{tuple(shape0)} — all frames of a stream must match")
         if pyr is None:
             pyr = pyramid(cur)
             init_h = cur.shape[0] >> (cfg.coarsest_scale + 1)

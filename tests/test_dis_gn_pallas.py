@@ -84,6 +84,27 @@ def test_gn_pallas_short_loops(rng, gd_iter):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_gn_pallas_bf16_envelope(rng):
+    """cfg.dtype="bfloat16" no longer changes backend: the fused kernel
+    accepts the bf16 envelope + weight stack directly (upcast in-kernel,
+    fp32 carries).  The XLA bf16 path blends windows in bf16 where the
+    kernel blends in fp32, so agreement is quantization-level, not exact.
+    """
+    i0, i1 = _scene(rng, 48, 64)
+    cfg = DISConfig(coarsest_scale=0, finest_scale=0, dtype="bfloat16")
+    ref, got = _optimize_both(cfg, i0, i1)
+    d = np.abs(np.asarray(got.p_cur) - np.asarray(ref.p_cur))
+    assert float(np.quantile(d, 0.95)) < 0.05 and float(d.max()) < 0.5, \
+        f"q95={np.quantile(d, 0.95):.3g} max={d.max():.3g}"
+    # and the bf16 kernel stays close to the fp32 kernel (sampling
+    # quantization only)
+    ref32, got32 = _optimize_both(
+        dataclasses.replace(cfg, dtype="float32"), i0, i1)
+    d32 = np.abs(np.asarray(got.p_cur) - np.asarray(got32.p_cur))
+    assert float(np.quantile(d32, 0.95)) < 0.1, \
+        f"bf16-vs-f32 q95={np.quantile(d32, 0.95):.3g}"
+
+
 def test_gn_pallas_full_pipeline(rng):
     """End-to-end op-point-2 flow with the fused kernel forced on."""
     i0, i1 = _scene(rng, 64, 96)
