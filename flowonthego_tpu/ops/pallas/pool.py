@@ -4,15 +4,16 @@ The reference builds its pyramid with NPP's bilinear x0.5 resize
 (/root/reference/src/kernels/pyramid.cpp:151-155), which for even dims is
 exactly a 2x2 box average.  XLA's ``reduce_window`` on a [H, W, 3] image
 picks a pathological layout in the composed pipeline (measured 2.6 ms for
-one 4K level — ~17x off the bandwidth bound), so the big levels use this
+one 4K level — ~17x off the bandwidth bound), so pyramid levels use this
 kernel instead.
 
 Design (all structured around what's fast on the VPU/MXU):
-  * The image is viewed as [H//2, 2*W*C] (a free, major-dim reshape that
-    lays each row pair side by side) and passed TWICE with block index
-    maps selecting the even / odd half — the block DMA does the row
-    de-interleave for free; the kernel's row pooling is a single
-    elementwise add, no sublane ops.
+  * The kernel reads raw [2*BR, BW] blocks of the flat [H, W*C] image —
+    no host-side reshape (the previous merged-row-pair view forced XLA to
+    materialize a full-image relayout, ~0.15 ms at 4K).  Row-pair pooling
+    is a LEFT one-hot matmul: L[k, 2k] = L[k, 2k+1] = 1, a = L @ block —
+    the MXU de-interleaves the rows (stride-2 sublane slicing does not
+    compile; in-VMEM reshapes lower to slow sublane shuffles).
   * Column pooling is ONE one-hot-ish matmul: sel[m, n] has ones at the
     two source lanes {2C*k + ch, 2C*k + C + ch} of output lane n = C*k+ch,
     so the MXU performs both the pairing and the lane compaction.
@@ -21,14 +22,18 @@ Design (all structured around what's fast on the VPU/MXU):
     bf16 matmuls against the exactly-representable 0/1 matrix recover
     near-fp32 accuracy (the parts accumulate in a different order than an
     fp32 pairwise sum, so exact bit equality is not guaranteed — the
-    equivalence test bounds the error at ~1 ulp) at half the cost of
-    Precision.HIGHEST (Mosaic supports only DEFAULT/HIGHEST; DEFAULT
-    alone would round the image to bf16 — ~0.5 absolute error on a
-    0..255 image).
+    equivalence test bounds the error at ~1-2 ulp of the 0..255 image
+    scale) at half the cost of Precision.HIGHEST (Mosaic supports only
+    DEFAULT/HIGHEST; DEFAULT alone would round the image to bf16 —
+    ~0.5 absolute error on a 0..255 image).  Both the row and column
+    pools use the split, so each block costs 6 tiny bf16 matmuls — noise
+    next to the HBM traffic.
 
 BW = 768 is a multiple of 2C for C in {1, 3} and of 256 (so both the
 input block and the BW/2-wide output block are lane-tile aligned);
-widths that don't divide are lane-padded and the result sliced.
+widths that don't divide are lane-padded and the result sliced.  Blocks
+that overrun the image bottom read unspecified rows; the affected output
+rows are cropped by the caller-visible out_shape, never observed.
 """
 
 from __future__ import annotations
@@ -57,17 +62,47 @@ def _sel_matrix(bw: int, channels: int) -> np.ndarray:
     return sel
 
 
-def _pool_kernel(even_ref, odd_ref, sel_ref, o_ref):
-    a = even_ref[:] + odd_ref[:]
-    sel = sel_ref[:]
+@functools.lru_cache(maxsize=2)
+def _row_matrix(br: int) -> np.ndarray:
+    """[br, 2*br] two-ones-per-row matrix: out row k <- in rows 2k, 2k+1."""
+    L = np.zeros((br, 2 * br), np.float32)
+    k = np.arange(br)
+    L[k, 2 * k] = 1.0
+    L[k, 2 * k + 1] = 1.0
+    return L
+
+
+def _split3(a):
+    """Exact fp32 -> bf16 three-way split (a == a1 + a2 + a3)."""
     a1 = a.astype(jnp.bfloat16)
     r = a - a1.astype(jnp.float32)
     a2 = r.astype(jnp.bfloat16)
     a3 = (r - a2.astype(jnp.float32)).astype(jnp.bfloat16)
-    acc = jnp.dot(a1, sel, preferred_element_type=jnp.float32)
-    acc += jnp.dot(a2, sel, preferred_element_type=jnp.float32)
-    acc += jnp.dot(a3, sel, preferred_element_type=jnp.float32)
-    o_ref[:] = acc * 0.25
+    return a1, a2, a3
+
+
+def _mm3(a, onehot):
+    """a @ onehot with the bf16x3 operand split, f32 accumulation."""
+    a1, a2, a3 = _split3(a)
+    acc = jnp.dot(a1, onehot, preferred_element_type=jnp.float32)
+    acc += jnp.dot(a2, onehot, preferred_element_type=jnp.float32)
+    acc += jnp.dot(a3, onehot, preferred_element_type=jnp.float32)
+    return acc
+
+
+def _pool_kernel(x_ref, L_ref, sel_ref, o_ref, *, n_rows: int):
+    x = x_ref[:]                    # [2*BR, BW] raw interleaved rows
+    if n_rows % (2 * _BR):
+        # Blocks overrunning the image bottom read unspecified rows; a NaN
+        # there would poison the left matmul through 0 * NaN, so zero them.
+        jj = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        x = jnp.where(jj + pl.program_id(0) * (2 * _BR) < n_rows, x, 0.0)
+    L = L_ref[:]
+    x1, x2, x3 = _split3(x)
+    a = jnp.dot(L, x1, preferred_element_type=jnp.float32)
+    a += jnp.dot(L, x2, preferred_element_type=jnp.float32)
+    a += jnp.dot(L, x3, preferred_element_type=jnp.float32)
+    o_ref[:] = _mm3(a, sel_ref[:]) * 0.25
 
 
 def pool2x2(img: jax.Array, interpret: bool = False) -> jax.Array:
@@ -93,16 +128,15 @@ def pool2x2_flat(x: jax.Array, C: int, interpret: bool = False) -> jax.Array:
         x = jnp.pad(x, ((0, 0), (0, pad)))
     wcp = wc + pad
     nj = wcp // _BW
-    x = x.reshape(H // 2, 2 * wcp)
     grid = (pl.cdiv(H // 2, _BR), nj)
     out = pl.pallas_call(
-        _pool_kernel,
+        functools.partial(_pool_kernel, n_rows=H),
         out_shape=jax.ShapeDtypeStruct((H // 2, wcp // 2), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_BR, _BW), lambda i, j: (i, j),
+            pl.BlockSpec((2 * _BR, _BW), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BR, _BW), lambda i, j, nj=nj: (i, j + nj),
+            pl.BlockSpec((_BR, 2 * _BR), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_BW, _BW // 2), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -110,5 +144,6 @@ def pool2x2_flat(x: jax.Array, C: int, interpret: bool = False) -> jax.Array:
         out_specs=pl.BlockSpec((_BR, _BW // 2), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, x, jnp.asarray(_sel_matrix(_BW, C), jnp.bfloat16))
+    )(x, jnp.asarray(_row_matrix(_BR), jnp.bfloat16),
+      jnp.asarray(_sel_matrix(_BW, C), jnp.bfloat16))
     return out[:, :wc // 2]

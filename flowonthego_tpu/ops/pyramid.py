@@ -68,11 +68,13 @@ def central_diff(img: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 # Above this many elements, use the Pallas pool kernel on TPU backends —
-# XLA's reduce_window picks a pathological layout for big [H, W, 3]
-# images in the composed pipeline (2.6 ms for one 4K level vs ~0.25 ms
-# for the kernel).  Small levels stay on reduce_window (negligible cost,
-# and it runs everywhere including the CPU test mesh).
-_PALLAS_POOL_MIN_ELEMS = 1 << 20
+# XLA's reduce_window picks a pathological layout for [H, W, 3] images in
+# the composed pipeline (2.6 ms for one 4K level vs ~0.25 ms for the
+# kernel; even a 272x480 level costs ~0.16 ms through the rank-3
+# materialize + 42x lane-padded reduce_window).  The kernel handles every
+# level of the chain, keeping it rank-2 end to end; reduce_window remains
+# the CPU/test path and the fallback for gate-failing shapes.
+_PALLAS_POOL_MIN_ELEMS = 1 << 12
 
 
 def pool_gate(size: int, h: int, w_flat: int, C: int) -> bool:
