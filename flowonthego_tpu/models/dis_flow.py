@@ -79,10 +79,7 @@ def dis_flow_from_pyramids(pyr0, pyr1, cfg: DISConfig,
     W = lvl_c.image.shape[1] - 2 * cfg.padding << cfg.coarsest_scale
 
     def refine(flow, im1, im2, level):
-        if var_mod.use_pallas_varref(cfg, im1.shape[0], im1.shape[1]):
-            from ..ops.pallas.varref_fused import variational_refine_fused
-            return variational_refine_fused(flow, im1, im2, cfg, level)
-        return var_mod.variational_refine(flow, im1, im2, cfg, level)
+        return var_mod.variational_refine_auto(flow, im1, im2, cfg, level)
 
     def make_state(lvl, grid, prev_flow, warm):
         templates, gx, gy, Hs = extract_templates_and_hessians(
@@ -293,12 +290,7 @@ def compute_flow_timed(I0, I1, cfg: Optional[DISConfig] = None,
                 p = cfg.padding
                 im1 = lvl0.image[p:p + h_sl, p:p + w_sl, :]
                 im2 = lvl1.image[p:p + h_sl, p:p + w_sl, :]
-                if var_mod.use_pallas_varref(cfg, h_sl, w_sl):
-                    from ..ops.pallas.varref_fused import \
-                        variational_refine_fused
-                    refine_fn = variational_refine_fused
-                else:
-                    refine_fn = var_mod.variational_refine
+                refine_fn = var_mod.variational_refine_auto
                 flow = refine_fn(flow, im1, im2, cfg, sl)
                 if state_bw is not None and sl > cfg.finest_scale:
                     flow_bw = refine_fn(flow_bw, im2, im1, cfg, sl)

@@ -14,9 +14,13 @@ Design (all structured around what's fast on the VPU/MXU):
     is a LEFT one-hot matmul: L[k, 2k] = L[k, 2k+1] = 1, a = L @ block —
     the MXU de-interleaves the rows (stride-2 sublane slicing does not
     compile; in-VMEM reshapes lower to slow sublane shuffles).
-  * Column pooling is ONE one-hot-ish matmul: sel[m, n] has ones at the
+  * Column pooling is a one-hot-ish matmul: sel[m, n] has ones at the
     two source lanes {2C*k + ch, 2C*k + C + ch} of output lane n = C*k+ch,
-    so the MXU performs both the pairing and the lane compaction.
+    so the MXU performs both the pairing and the lane compaction.  sel is
+    a BAND matrix (input lane ~ 2x output lane), so it is split into one
+    narrow 128-aligned band per 128-lane output chunk — 1.8x fewer MACs
+    than the full [BW, BW/2] contraction (measured ~10% on a 4K level;
+    the kernel is mostly DMA-bound).
   * Manual bf16x3 split: a = a1 + a2 + a3 with each part exactly
     bf16-representable covers all 24 fp32 mantissa bits, so three native
     bf16 matmuls against the exactly-representable 0/1 matrix recover
@@ -62,6 +66,24 @@ def _sel_matrix(bw: int, channels: int) -> np.ndarray:
     return sel
 
 
+@functools.lru_cache(maxsize=8)
+def _sel_bands(bw: int, channels: int):
+    """Split sel into one narrow 128-aligned band per 128-lane output
+    chunk: out chunk [128m, 128m+128) reads only input lanes around
+    [2*128m, 2*128m+256+2C) — a (lo, hi, band) triple per chunk with the
+    guarantee sel[i, n] == 0 for i outside [lo, hi)."""
+    sel = _sel_matrix(bw, channels)
+    bands = []
+    for m in range(bw // 2 // 128):
+        cols = sel[:, m * 128:(m + 1) * 128]
+        nz = np.nonzero(cols.any(axis=1))[0]
+        lo = (int(nz.min()) // 128) * 128
+        hi = min(-(-(int(nz.max()) + 1) // 128) * 128, bw)
+        assert cols[:lo].sum() == 0 and cols[hi:].sum() == 0
+        bands.append((lo, hi, cols[lo:hi]))
+    return tuple(bands)
+
+
 @functools.lru_cache(maxsize=2)
 def _row_matrix(br: int) -> np.ndarray:
     """[br, 2*br] two-ones-per-row matrix: out row k <- in rows 2k, 2k+1."""
@@ -90,7 +112,9 @@ def _mm3(a, onehot):
     return acc
 
 
-def _pool_kernel(x_ref, L_ref, sel_ref, o_ref, *, n_rows: int):
+def _pool_kernel(x_ref, L_ref, *refs, n_rows: int, bands):
+    band_refs = refs[:-1]
+    o_ref = refs[-1]
     x = x_ref[:]                    # [2*BR, BW] raw interleaved rows
     if n_rows % (2 * _BR):
         # Blocks overrunning the image bottom read unspecified rows; a NaN
@@ -102,7 +126,9 @@ def _pool_kernel(x_ref, L_ref, sel_ref, o_ref, *, n_rows: int):
     a = jnp.dot(L, x1, preferred_element_type=jnp.float32)
     a += jnp.dot(L, x2, preferred_element_type=jnp.float32)
     a += jnp.dot(L, x3, preferred_element_type=jnp.float32)
-    o_ref[:] = _mm3(a, sel_ref[:]) * 0.25
+    outs = [_mm3(a[:, lo:hi], bref[:])
+            for (lo, hi, _), bref in zip(bands, band_refs)]
+    o_ref[:] = jnp.concatenate(outs, axis=1) * 0.25
 
 
 def pool2x2(img: jax.Array, interpret: bool = False) -> jax.Array:
@@ -129,8 +155,9 @@ def pool2x2_flat(x: jax.Array, C: int, interpret: bool = False) -> jax.Array:
     wcp = wc + pad
     nj = wcp // _BW
     grid = (pl.cdiv(H // 2, _BR), nj)
+    bands = _sel_bands(_BW, C)
     out = pl.pallas_call(
-        functools.partial(_pool_kernel, n_rows=H),
+        functools.partial(_pool_kernel, n_rows=H, bands=bands),
         out_shape=jax.ShapeDtypeStruct((H // 2, wcp // 2), jnp.float32),
         grid=grid,
         in_specs=[
@@ -138,12 +165,12 @@ def pool2x2_flat(x: jax.Array, C: int, interpret: bool = False) -> jax.Array:
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_BR, 2 * _BR), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BW, _BW // 2), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + [pl.BlockSpec((hi - lo, 128), lambda i, j: (0, 0),
+                          memory_space=pltpu.VMEM)
+             for (lo, hi, _) in bands],
         out_specs=pl.BlockSpec((_BR, _BW // 2), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x, jnp.asarray(_row_matrix(_BR), jnp.bfloat16),
-      jnp.asarray(_sel_matrix(_BW, C), jnp.bfloat16))
+      *[jnp.asarray(b, jnp.bfloat16) for (_, _, b) in bands])
     return out[:, :wc // 2]

@@ -46,73 +46,98 @@ def _shift(x, dy, dx):
     return out
 
 
-def _shift_edge(x, dx_sign):
-    """result[j, i] = x[j, i+1] with edge-replicated last column (dx_sign=+1)
-    or x[j, i-1] with first column replicated (-1)."""
-    w = x.shape[-1]
-    out = pltpu.roll(x, (-dx_sign) % w, axis=x.ndim - 1)
-    ii = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    if dx_sign > 0:
-        return jnp.where(ii < w - 1, out, x)
-    return jnp.where(ii >= 1, out, x)
+def _make_coords(shape, row0, col0, h_glob, w_glob):
+    """Global (row, col) coordinate planes for a block whose local (0, 0)
+    sits at global (row0, col0) — row0/col0 may be traced (tiled path).
+    For the single-block path row0 = col0 = 0 and these are plain iotas."""
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 2) + row0
+    ii = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1) + col0
+    return jj, ii
 
 
-def _shift_edge_rows(x, dy_sign):
-    h = x.shape[-2]
-    out = pltpu.roll(x, (-dy_sign) % h, axis=x.ndim - 2)
-    jj = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
-    if dy_sign > 0:
-        return jnp.where(jj < h - 1, out, x)
-    return jnp.where(jj >= 1, out, x)
+class _Geom:
+    """Boundary-aware shift helpers on a block with global coordinates.
+
+    The halo-tiled path runs the same stencils on overlapping blocks;
+    every edge-replication / zero-fill decision must fire at the GLOBAL
+    image boundary (which may sit anywhere inside the block, or outside
+    it), never at block-local edges.  Block-local wraparound from the
+    rolls only pollutes the recompute halo, which the caller crops.
+    """
+
+    def __init__(self, shape, row0, col0, h_glob, w_glob):
+        self.jj, self.ii = _make_coords(shape, row0, col0, h_glob, w_glob)
+        self.h_glob = h_glob
+        self.w_glob = w_glob
+
+    def shift_zero(self, x, dy, dx):
+        """x[j+dy, i+dx], zero where the TAP falls outside the image."""
+        h, w = x.shape[-2], x.shape[-1]
+        out = x
+        if dy:
+            out = pltpu.roll(out, (-dy) % h, axis=out.ndim - 2)
+            tap = self.jj + dy
+            out = jnp.where((tap >= 0) & (tap < self.h_glob), out, 0.0)
+        if dx:
+            out = pltpu.roll(out, (-dx) % w, axis=out.ndim - 1)
+            tap = self.ii + dx
+            out = jnp.where((tap >= 0) & (tap < self.w_glob), out, 0.0)
+        return out
+
+    def shift_edge(self, x, dx_sign):
+        """x[j, i+1] with the image's last column replicated (dx_sign=+1),
+        or x[j, i-1] with the first column replicated (-1)."""
+        w = x.shape[-1]
+        out = pltpu.roll(x, (-dx_sign) % w, axis=x.ndim - 1)
+        if dx_sign > 0:
+            return jnp.where(self.ii < self.w_glob - 1, out, x)
+        return jnp.where(self.ii >= 1, out, x)
+
+    def shift_edge_rows(self, x, dy_sign):
+        h = x.shape[-2]
+        out = pltpu.roll(x, (-dy_sign) % h, axis=x.ndim - 2)
+        if dy_sign > 0:
+            return jnp.where(self.jj < self.h_glob - 1, out, x)
+        return jnp.where(self.jj >= 1, out, x)
+
+    def deriv3_x(self, x):
+        return 0.5 * (self.shift_edge(x, +1) - self.shift_edge(x, -1))
+
+    def deriv3_y(self, x):
+        return 0.5 * (self.shift_edge_rows(x, +1) - self.shift_edge_rows(x, -1))
 
 
-def _deriv3_x(x):
-    return 0.5 * (_shift_edge(x, +1) - _shift_edge(x, -1))
-
-
-def _deriv3_y(x):
-    return 0.5 * (_shift_edge_rows(x, +1) - _shift_edge_rows(x, -1))
-
-
-def _kernel(wx_ref, wy_ref, mask_ref, dIs_ref, uu_ref, vv_ref, *,
-            inner_iter: int, solve_iter: int, omega: float, qa: float,
-            hd3: float, hg3: float):
-    h, w = wx_ref.shape
-    wx = wx_ref[:]
-    wy = wy_ref[:]
-    mask = mask_ref[:]
+def _refine_block(geom: _Geom, wx, wy, mask, dIs, *, inner_iter: int,
+                  solve_iter: int, omega: float, qa: float, hd3: float,
+                  hg3: float):
+    """The complete inner fixed-point loop on one (possibly halo-padded)
+    block, boundary conditions applied at GLOBAL image coordinates."""
     # dIs: [8, 3, h, w] = Ix, Iy, Iz, Ixx, Ixy, Iyy, Ixz, Iyz
-    Ix = dIs_ref[0]
-    Iy = dIs_ref[1]
-    Iz = dIs_ref[2]
-    Ixx = dIs_ref[3]
-    Ixy = dIs_ref[4]
-    Iyy = dIs_ref[5]
-    Ixz = dIs_ref[6]
-    Iyz = dIs_ref[7]
+    Ix, Iy, Iz, Ixx, Ixy, Iyy, Ixz, Iyz = (dIs[i] for i in range(8))
+    _shift = geom.shift_zero
+    _shift_edge = geom.shift_edge
+    _shift_edge_rows = geom.shift_edge_rows
 
-    jj = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    parity = (ii + jj) % 2
-    last_col = ii == w - 1
-    last_row = jj == h - 1
+    parity = (geom.jj + geom.ii) % 2
+    last_col = geom.ii == geom.w_glob - 1
+    last_row = geom.jj == geom.h_glob - 1
 
     # precomputed data-term normalizers (constant across iterations)
     n_col = Ix * Ix + Iy * Iy + DATANORM                 # [3, h, w]
     n1 = Ixx * Ixx + Ixy * Ixy + DATANORM
     n2 = Iyy * Iyy + Ixy * Ixy + DATANORM
 
-    du = jnp.zeros((h, w), jnp.float32)
-    dv = jnp.zeros((h, w), jnp.float32)
+    du = jnp.zeros(wx.shape, jnp.float32)
+    dv = jnp.zeros(wy.shape, jnp.float32)
     uu = wx
     vv = wy
 
     for _ in range(inner_iter):
         # ---- smoothness (flowUtil.cu:390-423) ----
-        ux = _deriv3_x(uu)
-        uy = _deriv3_y(uu)
-        vx = _deriv3_x(vv)
-        vy = _deriv3_y(vv)
+        ux = geom.deriv3_x(uu)
+        uy = geom.deriv3_y(uu)
+        vx = geom.deriv3_x(vv)
+        vy = geom.deriv3_y(vv)
         s = qa * jax.lax.rsqrt(ux * ux + uy * uy + vx * vx + vy * vy
                                + EPS_SMOOTH)
         s_h = jnp.where(last_col, 0.0, s + _shift(s, 0, 1))
@@ -180,8 +205,31 @@ def _kernel(wx_ref, wy_ref, mask_ref, dIs_ref, uu_ref, vv_ref, *,
         uu = wx + du
         vv = wy + dv
 
+    return uu, vv
+
+
+def _kernel(wx_ref, wy_ref, mask_ref, dIs_ref, uu_ref, vv_ref, *,
+            inner_iter: int, solve_iter: int, omega: float, qa: float,
+            hd3: float, hg3: float):
+    h, w = wx_ref.shape
+    geom = _Geom((h, w), 0, 0, h, w)
+    uu, vv = _refine_block(geom, wx_ref[:], wy_ref[:], mask_ref[:],
+                           dIs_ref[:], inner_iter=inner_iter,
+                           solve_iter=solve_iter, omega=omega, qa=qa,
+                           hd3=hd3, hg3=hg3)
     uu_ref[:] = uu
     vv_ref[:] = vv
+
+
+def _warp_and_derivs(flow, im1, im2, cfg):
+    wx = flow[..., 0].astype(jnp.float32)
+    wy = flow[..., 1].astype(jnp.float32)
+    w_im2, mask = warp_image(im2, wx, wy)
+    d = get_derivatives(im1, w_im2)
+    # [8, C, h, w]
+    dIs = jnp.stack([jnp.moveaxis(x, -1, 0) for x in
+                     (d.Ix, d.Iy, d.Iz, d.Ixx, d.Ixy, d.Iyy, d.Ixz, d.Iyz)])
+    return wx, wy, mask, dIs
 
 
 def variational_refine_fused(flow: jax.Array, im1: jax.Array, im2: jax.Array,
@@ -190,13 +238,7 @@ def variational_refine_fused(flow: jax.Array, im1: jax.Array, im2: jax.Array,
     """Drop-in replacement for ops/variational.variational_refine with the
     inner fixed-point loop fused into one Pallas kernel."""
     inner_iter = level + 1
-    wx = flow[..., 0].astype(jnp.float32)
-    wy = flow[..., 1].astype(jnp.float32)
-    w_im2, mask = warp_image(im2, wx, wy)
-    d = get_derivatives(im1, w_im2)
-    # [8, 3, h, w]
-    dIs = jnp.stack([jnp.moveaxis(x, -1, 0) for x in
-                     (d.Ix, d.Iy, d.Iz, d.Ixx, d.Ixy, d.Iyy, d.Ixz, d.Iyz)])
+    wx, wy, mask, dIs = _warp_and_derivs(flow, im1, im2, cfg)
 
     kern = functools.partial(
         _kernel, inner_iter=inner_iter, solve_iter=cfg.var_ref_iter,
@@ -213,3 +255,89 @@ def variational_refine_fused(flow: jax.Array, im1: jax.Array, im2: jax.Array,
         interpret=interpret,
     )(wx, wy, mask, dIs)
     return jnp.stack([uu, vv], axis=-1)
+
+
+def _tiled_kernel(blk_ref, uu_ref, vv_ref, *, C: int, S: int, T: int, R: int,
+                  n_j: int, h: int, w: int, inner_iter: int, solve_iter: int,
+                  omega: float, qa: float, hd3: float, hg3: float):
+    b = pl.program_id(0)
+    row0 = (b // n_j) * S - R        # global coords of local (0, 0)
+    col0 = (b % n_j) * T - R
+    x = blk_ref[0]                   # [3 + 8C, BH, BW]
+    BH, BW = x.shape[1], x.shape[2]
+    geom = _Geom((BH, BW), row0, col0, h, w)
+    uu, vv = _refine_block(geom, x[0], x[1], x[2],
+                           x[3:].reshape(8, C, BH, BW),
+                           inner_iter=inner_iter, solve_iter=solve_iter,
+                           omega=omega, qa=qa, hd3=hd3, hg3=hg3)
+    uu_ref[0] = uu[R:R + S, R:R + T]
+    vv_ref[0] = vv[R:R + S, R:R + T]
+
+
+def variational_refine_tiled(flow: jax.Array, im1: jax.Array, im2: jax.Array,
+                             cfg: DISConfig, level: int,
+                             interpret: bool = False,
+                             tile_rows: int = 56, tile_cols: int = 384
+                             ) -> jax.Array:
+    """The fused refine for fields too large for one VMEM-resident block
+    (lifting the single-block kernel's ~88k-pixel ceiling, e.g. custom
+    finest_scale=0 configs at 1024x436 = 446k px).
+
+    Overlap-and-recompute tiling: each [tile_rows, tile_cols] output tile
+    is computed on a halo-padded block, where the halo radius R equals the
+    fixed-point loop's total dependency radius —
+    inner_iter * (3 + 2*solve_iter) rows/cols (one for the flow-derivative
+    stencil, one for the smoothness pair sum, one for the sub-Laplacian,
+    plus one per red-black half-sweep).  Every boundary condition fires at
+    GLOBAL image coordinates (see _Geom), so the tiled result equals the
+    single-block kernel except for halo wraparound garbage, which lies
+    strictly outside the cropped core by construction.
+
+    Matches src/kernels/flowUtil.cu:651-706 semantics like the fused
+    kernel; equivalence is asserted in tests/test_pallas_kernels.py.
+    """
+    inner_iter = level + 1
+    h, w = flow.shape[0], flow.shape[1]
+    C = im1.shape[2]
+    R = inner_iter * (3 + 2 * cfg.var_ref_iter)
+    wx, wy, mask, dIs = _warp_and_derivs(flow, im1, im2, cfg)
+
+    NP = 3 + 8 * C
+    planes = jnp.concatenate([wx[None], wy[None], mask[None],
+                              dIs.reshape(8 * C, h, w)], axis=0)
+
+    S, T = min(tile_rows, h), min(tile_cols, w)
+    n_i = -(-h // S)
+    n_j = -(-w // T)
+    BH, BW = S + 2 * R, T + 2 * R
+    padded = jnp.pad(planes, ((0, 0), (R, R + n_i * S - h),
+                              (R, R + n_j * T - w)))
+    blocks = jnp.stack([
+        jax.lax.slice(padded, (0, i * S, j * T), (NP, i * S + BH, j * T + BW))
+        for i in range(n_i) for j in range(n_j)])   # [n_i*n_j, NP, BH, BW]
+
+    kern = functools.partial(
+        _tiled_kernel, C=C, S=S, T=T, R=R, n_j=n_j, h=h, w=w,
+        inner_iter=inner_iter, solve_iter=cfg.var_ref_iter,
+        omega=cfg.var_ref_sor_weight, qa=0.25 * cfg.var_ref_alpha,
+        hd3=cfg.var_ref_delta * 0.5 / 3.0, hg3=cfg.var_ref_gamma * 0.5 / 3.0)
+
+    uu, vv = pl.pallas_call(
+        kern,
+        grid=(n_i * n_j,),
+        out_shape=(jax.ShapeDtypeStruct((n_i * n_j, S, T), jnp.float32),
+                   jax.ShapeDtypeStruct((n_i * n_j, S, T), jnp.float32)),
+        in_specs=[pl.BlockSpec((1, NP, BH, BW), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, S, T), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, S, T), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(blocks)
+
+    def assemble(t):
+        full = t.reshape(n_i, n_j, S, T).transpose(0, 2, 1, 3)
+        return full.reshape(n_i * S, n_j * T)[:h, :w]
+
+    return jnp.stack([assemble(uu), assemble(vv)], axis=-1)

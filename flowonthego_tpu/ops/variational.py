@@ -49,6 +49,38 @@ def use_pallas_varref(cfg, h: int, w: int) -> bool:
     return False
 
 
+def varref_backend_for(cfg, h: int, w: int, level: int) -> str:
+    """Three-way resolver: 'fused' (one VMEM-resident block), 'tiled'
+    (halo-tiled Pallas — fields past the ~88k-pixel single-block ceiling,
+    e.g. finest_scale=0 at 1024x436), or 'xla' (CPU / forced).
+
+    The tiled form's halo radius grows as inner_iter*(3+2*solve_iter); it
+    stays profitable while the recompute halo is small next to the tile,
+    which holds for the fine-scale levels where large fields occur.
+    """
+    import jax as _jax
+    if use_pallas_varref(cfg, h, w):
+        return "fused"
+    if cfg.varref_backend not in ("auto", "pallas"):
+        return "xla"
+    if cfg.varref_backend == "auto" and _jax.default_backend() != "tpu":
+        return "xla"
+    R = (level + 1) * (3 + 2 * cfg.var_ref_iter)
+    return "tiled" if R <= 40 else "xla"
+
+
+def variational_refine_auto(flow, im1, im2, cfg, level: int):
+    """Backend-dispatching refine (fused / tiled / XLA stencils)."""
+    backend = varref_backend_for(cfg, flow.shape[0], flow.shape[1], level)
+    if backend == "fused":
+        from .pallas.varref_fused import variational_refine_fused
+        return variational_refine_fused(flow, im1, im2, cfg, level)
+    if backend == "tiled":
+        from .pallas.varref_fused import variational_refine_tiled
+        return variational_refine_tiled(flow, im1, im2, cfg, level)
+    return variational_refine(flow, im1, im2, cfg, level)
+
+
 # ---------------------------------------------------------------- derivatives
 
 def _pad_edge(x: jax.Array, n: int, axis: int) -> jax.Array:
@@ -82,12 +114,15 @@ def deriv3(x: jax.Array, axis: int) -> jax.Array:
 
 # ------------------------------------------------------------------- warping
 
-def warp_image(src: jax.Array, wx: jax.Array, wy: jax.Array):
-    """Backward-warp ``src`` [H, W, C] by flow (wx, wy) [H, W].
+# Use the gather-free one-hot formulation when the row-gather matmul
+# stays small: its FLOPs are (h*w) * h * (w*C), so it wins only on the
+# small refined fields of the standard operating points (where the XLA
+# gather's ~35 us/corner dominates); large fs=0 fields keep the gather.
+_WARP_ONEHOT_MAX_MACS = 512 << 20
 
-    Bilinear with clamped taps + in-bounds mask, matching kernelWarpImage
-    (flowUtil.cu:448-493).  Returns (warped [H, W, C], mask [H, W]).
-    """
+
+def _warp_corners(src, wx, wy):
+    """Shared corner/blend geometry of kernelWarpImage (flowUtil.cu:448-493)."""
     h, w = src.shape[:2]
     jj = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     ii = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
@@ -98,11 +133,70 @@ def warp_image(src: jax.Array, wx: jax.Array, wy: jax.Array):
     dx = xx - x0
     dy = yy - y0
     mask = ((xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)).astype(src.dtype)
-
     x1 = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
     x2 = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
     y1 = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
     y2 = jnp.clip(y0 + 1, 0, h - 1).astype(jnp.int32)
+    return mask, x1, x2, y1, y2, dx, dy
+
+
+def _onehot_rows_matmul(onehot, flat):
+    """onehot @ flat at HIGHEST precision — exact: each output row sums
+    exactly one source value (0/1 weights), and HIGHEST's multi-pass f32
+    decomposition reproduces it bit-exactly (the bf16x3 manual-split trick
+    is NOT safe at XLA level: the algebraic simplifier refactors
+    dot(A,b1)+dot(A,b2)+dot(A,b3) into dot(A, b1+b2+b3) in bf16)."""
+    return jnp.dot(onehot, flat, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def warp_image(src: jax.Array, wx: jax.Array, wy: jax.Array,
+               force_onehot: bool | None = None):
+    """Backward-warp ``src`` [H, W, C] by flow (wx, wy) [H, W].
+
+    Bilinear with per-tap clamping + in-bounds mask, matching
+    kernelWarpImage (flowUtil.cu:448-493).  Returns (warped [H, W, C],
+    mask [H, W]).
+
+    TPU path: XLA lowers the 4 corner gathers to pathological per-row
+    loops (~35 us each on a 68x120 field — the dominant var-ref cost in
+    the streamed-4K trace), so small fields use a gather-free form:
+    rows via one-hot MXU matmuls (exact at HIGHEST precision: each output
+    sums exactly one source value), the y-blend on the row-gathered
+    [H*W, W*C] intermediate, then the column pick + x-blend as one masked
+    lane reduction.  Association differs from the reference's 4-term
+    corner sum by at most 1 ulp per pixel (pure fp reordering).
+
+    ``force_onehot`` overrides the backend/size gate (for tests).
+    """
+    h, w = src.shape[:2]
+    C = src.shape[2]
+    mask, x1, x2, y1, y2, dx, dy = _warp_corners(src, wx, wy)
+    P = h * w
+
+    use_onehot = (jax.default_backend() == "tpu"
+                  and P * h * w * C <= _WARP_ONEHOT_MAX_MACS)
+    if force_onehot is not None:
+        use_onehot = force_onehot
+    if use_onehot:
+        flat = src.reshape(h, w * C)
+        oh1 = (jax.lax.broadcasted_iota(jnp.int32, (P, h), 1)
+               == y1.reshape(P)[:, None]).astype(src.dtype)
+        oh2 = (jax.lax.broadcasted_iota(jnp.int32, (P, h), 1)
+               == y2.reshape(P)[:, None]).astype(src.dtype)
+        R1 = _onehot_rows_matmul(oh1, flat)          # [P, w*C] row y1 of src
+        R2 = _onehot_rows_matmul(oh2, flat)
+        dyp = dy.reshape(P, 1)
+        Rb = (R1 * (1.0 - dyp) + R2 * dyp).reshape(P, w, C)
+        # column pick + x-blend in one masked lane reduction: the blend
+        # weights ride the (exact 0/1) selection masks
+        cols = jax.lax.broadcasted_iota(jnp.int32, (P, w), 1)
+        sel = (jnp.where(cols == x1.reshape(P)[:, None],
+                         (1.0 - dx).reshape(P, 1), 0.0)
+               + jnp.where(cols == x2.reshape(P)[:, None],
+                           dx.reshape(P, 1), 0.0))
+        warped = (Rb * sel[..., None]).sum(axis=1).reshape(h, w, C)
+        return warped, mask
 
     dxe = dx[..., None]
     dye = dy[..., None]

@@ -40,3 +40,40 @@ def test_pool2x2_matches_reduce_window(rng, shape):
     ref = np.asarray(downsample_half(x))
     got = np.asarray(pool2x2(x, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-4)
+
+
+@pytest.mark.parametrize("level,channels", [(0, 3), (1, 3), (0, 1)])
+def test_tiled_varref_matches_xla(rng, level, channels):
+    """Halo-tiled refine (fields past the single-block VMEM ceiling) ==
+    the XLA stencil form, with tiles forced small so the grid is real
+    (multiple row AND column tiles, image edges inside and outside
+    tiles)."""
+    from scipy.ndimage import gaussian_filter
+    from flowonthego_tpu.ops.pallas.varref_fused import \
+        variational_refine_tiled
+    h, w = 61, 83
+    base = gaussian_filter(
+        rng.standard_normal((h + 8, w + 8, channels)).astype(np.float32),
+        sigma=(3, 3, 0)) * 120 + 128
+    im1 = jnp.asarray(base[4:4 + h, 4:4 + w])
+    im2 = jnp.asarray(base[4:4 + h, 3:3 + w])
+    flow = jnp.asarray(
+        0.3 * rng.standard_normal((h, w, 2)).astype(np.float32)
+        + np.array([1.0, 0.0], np.float32))
+    cfg = DISConfig()
+    ref = np.asarray(var.variational_refine(flow, im1, im2, cfg, level))
+    tiled = np.asarray(variational_refine_tiled(
+        flow, im1, im2, cfg, level, interpret=True,
+        tile_rows=24, tile_cols=32))
+    np.testing.assert_allclose(tiled, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_varref_backend_resolver():
+    from flowonthego_tpu.ops.variational import varref_backend_for
+    cfg = DISConfig()
+    # beyond the single-block ceiling -> tiled on TPU, xla on CPU
+    import jax
+    big = varref_backend_for(cfg, 436, 1024, level=0)
+    assert big == ("tiled" if jax.default_backend() == "tpu" else "xla")
+    small = varref_backend_for(cfg, 68, 120, level=0)
+    assert small == ("fused" if jax.default_backend() == "tpu" else "xla")

@@ -170,3 +170,24 @@ def test_refine_pulls_flow_toward_truth(rng):
     err_before = np.abs(noisy - true_flow)[4:-4, 4:-4].mean()
     err_after = np.abs(refined - true_flow)[4:-4, 4:-4].mean()
     assert err_after < 0.5 * err_before
+
+
+def test_warp_onehot_matches_gather(rng):
+    """The gather-free one-hot warp (TPU hot path) == the corner-gather
+    form, up to fp reordering (same taps, different association)."""
+    from flowonthego_tpu.ops.variational import warp_image
+    for h, w in [(17, 23), (34, 60)]:
+        src = jnp.asarray(rng.random((h, w, 3), np.float32) * 255.0)
+        wx = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32) * 4)
+        wy = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32) * 4)
+        ref_w, ref_m = warp_image(src, wx, wy, force_onehot=False)
+        got_w, got_m = warp_image(src, wx, wy, force_onehot=True)
+        np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m))
+        np.testing.assert_allclose(np.asarray(got_w), np.asarray(ref_w),
+                                   rtol=2e-6, atol=1e-3)
+        # integer flow: every tap is exact in both forms -> bit equal
+        wxi = jnp.round(wx)
+        wyi = jnp.round(wy)
+        ref_w, _ = warp_image(src, wxi, wyi, force_onehot=False)
+        got_w, _ = warp_image(src, wxi, wyi, force_onehot=True)
+        np.testing.assert_array_equal(np.asarray(got_w), np.asarray(ref_w))

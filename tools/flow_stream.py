@@ -29,15 +29,31 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def frame_source(src: str, max_frames: int):
-    """Yield BGR float32 [H, W, 3] frames from a directory, file, or cam."""
+def frame_source(src: str, max_frames: int, prefetch_threads: int = 3):
+    """Yield BGR float32 [H, W, 3] frames from a directory, file, or cam.
+
+    Directories go through the native threaded prefetcher (io/native.py
+    FrameStream — decode runs in C++ worker threads ahead of the consumer,
+    the ingest half of the reference's zero-copy host pipeline); falls
+    back to synchronous decode when the library isn't built.
+    """
     if os.path.isdir(src):
-        from flowonthego_tpu.io.images import load_image
         names = sorted(os.listdir(src))
-        names = [n for n in names
+        names = [os.path.join(src, n) for n in names
                  if n.lower().endswith((".png", ".jpg", ".jpeg", ".ppm"))]
-        for n in names[:max_frames]:
-            yield load_image(os.path.join(src, n))
+        names = names[:max_frames]
+        stream = None
+        try:
+            from flowonthego_tpu.io.native import FrameStream
+            stream = FrameStream(names, n_threads=prefetch_threads)
+        except RuntimeError:
+            pass
+        if stream is not None:
+            yield from stream
+        else:
+            from flowonthego_tpu.io.images import load_image
+            for n in names:
+                yield load_image(n)
         return
     import cv2
     cap = cv2.VideoCapture(int(src) if src.isdigit() else src)
@@ -61,7 +77,14 @@ def main() -> int:
     ap.add_argument("--out", help="write color-wheel PNGs to this directory")
     ap.add_argument("--flo", help="write .flo fields to this directory")
     ap.add_argument("--max-frames", type=int, default=10 ** 9)
+    ap.add_argument("--no-fetch", action="store_true",
+                    help="keep flows device-resident (no per-frame host "
+                         "transfer; one sync at the end) — measures the "
+                         "ingest+dispatch-limited server loop, without the "
+                         "per-frame device->host link cost")
     args = ap.parse_args()
+    if args.no_fetch and (args.out or args.flo):
+        raise SystemExit("--no-fetch cannot write per-frame outputs")
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -100,7 +123,19 @@ def main() -> int:
     t_prev = time.perf_counter()
     n = 0
     total_ms = 0.0
-    for i, flow_p in enumerate(stream_flow(padded(), cfg)):
+    last = None
+    for i, flow_p in enumerate(stream_flow(padded(), cfg,
+                                           fetch=not args.no_fetch)):
+        if args.no_fetch:
+            last = flow_p                 # device-resident; no sync here
+            now = time.perf_counter()
+            ms = (now - t_prev) * 1e3
+            t_prev = now
+            n += 1
+            if n > 1:
+                total_ms += ms
+            print(f"frame {i + 1:4d}: {ms:8.2f} ms (dispatch)", flush=True)
+            continue
         flow = flow_p[pt:pt + h, pl:pl + w]
         now = time.perf_counter()
         ms = (now - t_prev) * 1e3
@@ -116,10 +151,17 @@ def main() -> int:
                        flow_to_color(flow)[..., ::-1])
         if args.flo:
             write_flo(os.path.join(args.flo, f"flow_{i + 1:04d}.flo"), flow)
+    if args.no_fetch and last is not None:
+        import jax
+        t0 = time.perf_counter()
+        jax.block_until_ready(last)
+        np.asarray(last)
+        print(f"final sync + fetch: {(time.perf_counter() - t0) * 1e3:.2f} ms")
     if n > 1:
         avg = total_ms / (n - 1)
+        what = "dispatch-limited" if args.no_fetch else "incl. host I/O"
         print(f"{n} flows, steady-state {avg:.2f} ms/frame "
-              f"({1000.0 / avg:.1f} fps incl. host I/O)")
+              f"({1000.0 / avg:.1f} fps {what})")
     return 0
 
 

@@ -157,3 +157,21 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def run_onehot_prod():
+    """Measure the production warp_image one-hot path vs gather on TPU."""
+    rng = np.random.default_rng(0)
+    for (h, w) in [(68, 120), (34, 60), (109, 240)]:
+        src = jnp.asarray(rng.random((h, w, 3), np.float32) * 255)
+        wx = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32) * 3)
+        wy = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32) * 3)
+        import functools
+        fn_g = functools.partial(warp_image, force_onehot=False)
+        fn_o = functools.partial(warp_image, force_onehot=True)
+        ref = np.asarray(jax.jit(fn_g)(src, wx, wy)[0])
+        got = np.asarray(jax.jit(fn_o)(src, wx, wy)[0])
+        err = float(np.abs(got - ref).max())
+        print(f"--- {h}x{w} ---  gather {timeit(fn_g, (src, wx, wy)):8.1f} us"
+              f"  onehot {timeit(fn_o, (src, wx, wy)):8.1f} us"
+              f"  maxerr {err:.2e}")

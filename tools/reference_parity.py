@@ -86,11 +86,85 @@ def warp_error(flow: np.ndarray, I0: np.ndarray, I1: np.ndarray) -> float:
     return float(err[inside].mean())
 
 
+def cv2_dis_flow(I0: np.ndarray, I1: np.ndarray) -> np.ndarray:
+    """OpenCV's own DIS implementation (the reference repo's third engine,
+    ref/flow_ref.cpp:292-357) as a triangulation point.  MEDIUM preset =
+    patch 8 / stride 3 / 25 iters with variational refinement — the
+    closest preset to operating point 2."""
+    import cv2
+    dis = cv2.DISOpticalFlow_create(cv2.DISOPTICAL_FLOW_PRESET_MEDIUM)
+    g0 = cv2.cvtColor(I0.astype(np.uint8), cv2.COLOR_BGR2GRAY)
+    g1 = cv2.cvtColor(I1.astype(np.uint8), cv2.COLOR_BGR2GRAY)
+    return dis.calc(g0, g1, None).astype(np.float32)
+
+
+def diagnose(frames, out_dir) -> int:
+    """Spatially localize the EPE between our flow and the oracle's for
+    the given frames (the PARITY.md outlier investigation).
+
+    Writes <out-dir>/diagnose_frame_NN.png (EPE heatmap alongside the two
+    flow colorizations) and prints concentration statistics that separate
+    'DIS chaos on large motion' (error concentrated in few high-motion
+    patches, warp error comparable) from a systematic bias (error spread
+    wide or warp error clearly worse).
+    """
+    from flowonthego_tpu.config import operating_point
+    from flowonthego_tpu.io.color import flow_to_color
+    from flowonthego_tpu.io.flo import read_flo
+    from flowonthego_tpu.io.images import load_image, save_image
+    from flowonthego_tpu.models.dis_flow import compute_flow
+
+    binary = build_oracle()
+    for i in frames:
+        I0 = load_image(os.path.join(REF_IMAGES, f"frame_{i:04d}.png"))
+        I1 = load_image(os.path.join(REF_IMAGES, f"frame_{i + 1:04d}.png"))
+        cfg = operating_point(2, width=I0.shape[1])
+        ours = np.asarray(compute_flow(I0, I1, cfg=cfg))
+        oracle = read_flo(oracle_flow(binary, i))
+        cvf = cv2_dis_flow(I0, I1)
+
+        d = np.sqrt(((ours - oracle) ** 2).sum(-1))
+        mag = np.sqrt((oracle ** 2).sum(-1))
+        total = d.sum()
+        flat = np.sort(d.reshape(-1))[::-1]
+        n = flat.size
+        top1_share = flat[:n // 100].sum() / total
+        top01_share = flat[:n // 1000].sum() / total
+        hot = d > np.quantile(d, 0.99)
+        print(f"frame {i}: EPE mean {d.mean():.4f} q50 "
+              f"{np.quantile(d, .5):.4f} q95 {np.quantile(d, .95):.4f} "
+              f"q99 {np.quantile(d, .99):.4f} max {d.max():.2f}")
+        print(f"  concentration: top-1% pixels carry "
+              f"{top1_share * 100:.1f}% of total EPE "
+              f"(top-0.1%: {top01_share * 100:.1f}%)")
+        print(f"  |oracle flow| overall {mag.mean():.2f} px, in hot region "
+              f"{mag[hot].mean():.2f} px")
+        print(f"  ours-vs-cv2DIS EPE {np.sqrt(((ours - cvf) ** 2).sum(-1)).mean():.3f}, "
+              f"oracle-vs-cv2DIS {np.sqrt(((oracle - cvf) ** 2).sum(-1)).mean():.3f}")
+        we = (warp_error(ours, I0, I1), warp_error(oracle, I0, I1))
+        print(f"  warp error: ours {we[0]:.4f} vs oracle {we[1]:.4f}")
+        heat = np.clip(d / max(np.quantile(d, 0.999), 1e-9), 0, 1)
+        heat_rgb = np.stack([heat * 255, heat * 64,
+                             (1 - heat) * 128], axis=-1)
+        panel = np.concatenate([
+            heat_rgb, flow_to_color(ours), flow_to_color(oracle)], axis=0)
+        out = os.path.join(out_dir, f"diagnose_frame_{i:02d}.png")
+        save_image(out, panel.astype(np.uint8))
+        print(f"  heatmap+flows -> {out}")
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=49)
     ap.add_argument("--out-dir", default=REPO)
+    ap.add_argument("--cv2", action="store_true",
+                    help="add OpenCV-DIS triangulation columns")
+    ap.add_argument("--diagnose", type=int, nargs="+", metavar="FRAME",
+                    help="spatially diagnose ours-vs-oracle EPE for frames")
     args = ap.parse_args()
+    if args.diagnose:
+        return diagnose(args.diagnose, args.out_dir)
 
     from flowonthego_tpu.config import operating_point
     from flowonthego_tpu.io.flo import read_flo
@@ -118,13 +192,21 @@ def main() -> int:
         mag = float(np.sqrt((oracle ** 2).sum(-1)).mean())
         we_ours = warp_error(ours, I0, I1)
         we_oracle = warp_error(oracle, I0, I1)
-        rows.append({"frame": i, "epe_px": epe, "oracle_mean_mag_px": mag,
-                     "epe_normalized": epe / mag,
-                     "warp_err_ours": we_ours,
-                     "warp_err_oracle": we_oracle})
+        row = {"frame": i, "epe_px": epe, "oracle_mean_mag_px": mag,
+               "epe_normalized": epe / mag,
+               "warp_err_ours": we_ours,
+               "warp_err_oracle": we_oracle}
+        if args.cv2:
+            cvf = cv2_dis_flow(I0, I1)
+            row["epe_ours_vs_cv2"] = average_epe(ours, cvf)
+            row["epe_oracle_vs_cv2"] = average_epe(oracle, cvf)
+            row["warp_err_cv2"] = warp_error(cvf, I0, I1)
+        rows.append(row)
         print(f"frame {i:2d}: EPE {epe:.4f} px, |oracle| {mag:.3f} px, "
               f"normalized {epe / mag * 100:.2f}%, warp-err "
-              f"ours {we_ours:.4f} vs oracle {we_oracle:.4f}", flush=True)
+              f"ours {we_ours:.4f} vs oracle {we_oracle:.4f}"
+              + (f", cv2 {row['warp_err_cv2']:.4f}" if args.cv2 else ""),
+              flush=True)
 
     epes = np.array([r["epe_px"] for r in rows])
     norms = np.array([r["epe_normalized"] for r in rows])
@@ -143,6 +225,13 @@ def main() -> int:
         "warp_err_ratio": float(we_o.mean() / we_r.mean()),
         "per_frame": rows,
     }
+    if args.cv2:
+        summary["mean_epe_ours_vs_cv2"] = float(np.mean(
+            [r["epe_ours_vs_cv2"] for r in rows]))
+        summary["mean_epe_oracle_vs_cv2"] = float(np.mean(
+            [r["epe_oracle_vs_cv2"] for r in rows]))
+        summary["mean_warp_err_cv2"] = float(np.mean(
+            [r["warp_err_cv2"] for r in rows]))
     json_path = os.path.join(args.out_dir, "parity.json")
     with open(json_path, "w") as f:
         json.dump(summary, f, indent=1)
@@ -169,6 +258,37 @@ def main() -> int:
         f"{we_o.mean():.4f} vs oracle {we_r.mean():.4f} "
         f"(ratio {we_o.mean() / we_r.mean():.4f}; the 2%-of-reference "
         "bound requires <= 1.02)**",
+    ] + ([
+        f"- triangulation vs OpenCV's DIS (the reference repo's third "
+        f"engine, `ref/flow_ref.cpp`): EPE(ours, cv2) = "
+        f"{summary['mean_epe_ours_vs_cv2']:.3f} px, EPE(oracle, cv2) = "
+        f"{summary['mean_epe_oracle_vs_cv2']:.3f} px — our flow and the "
+        "oracle's sit ~5x closer to EACH OTHER than either sits to the "
+        "third engine, and we are marginally the closer of the two to "
+        "cv2, so the inter-engine EPE above is not a self-referential "
+        "artifact.  (cv2-MEDIUM's own warp error "
+        f"{summary['mean_warp_err_cv2']:.4f} is lower than both engines' "
+        "by design — 25 GD iterations vs 12 fit the photometric term "
+        "harder at the cost of smoothness; it anchors the EPE "
+        "triangulation, not the accuracy comparison.)",
+    ] if args.cv2 else []) + [
+        "",
+        "## Outlier frames (24, 26)",
+        "",
+        "The two ~10%-normalized-EPE frames are concentrated large-motion",
+        "chaos, not systematic divergence (`--diagnose 24 26`): the median",
+        "pixel agrees at the sequence-typical level (q50 = 0.089 / 0.067 px",
+        "vs 0.06-0.09 px elsewhere), while the top 1% of pixels carry ~27% /",
+        "~25% of the total EPE and sit on the fast-moving region",
+        "(mean |oracle flow| 13 / 19 px there vs 5.2 / 3.8 px overall —",
+        "the bottom-right sleeve sweep).  In that region the DIS outlier",
+        "reset is a discontinuous decision on near-tied costs, so the two",
+        "engines' ulp-level arithmetic differences flip patch resets;",
+        "triangulation agrees: ours-vs-cv2DIS EPE 1.68 / 1.16 px vs",
+        "oracle-vs-cv2DIS 1.83 / 1.32 px (we are no farther from the third",
+        "engine than the oracle is), and the photometric warp error is a",
+        "wash (frame 24: ours 3.720 vs oracle 3.624; frame 26: ours 2.954",
+        "vs oracle 3.089 — one each).",
         "",
         "| frame | EPE (px) | mean |oracle| (px) | normalized EPE | "
         "warp-err ours | warp-err oracle |",
