@@ -66,9 +66,14 @@ def stream_chain_timer(H, W, cfg, frame_flat, n=64, trials=5):
     n_levels = cfg.coarsest_scale + 1
     init_h, init_w = H >> (cfg.coarsest_scale + 1), W >> (cfg.coarsest_scale + 1)
 
-    def pyramid(If):
+    def pyramid(If, bias=None):
+        # bias emulates ingesting a new frame; it is fused into the first
+        # pyramid level's read (a standalone full-frame add costs a
+        # 100 MB read+write at 4K) — a real deployment's frames arrive as
+        # fresh device buffers and pay neither.
         return build_pyramid(If.reshape(H, W, 3), n_levels, cfg.padding,
-                             start_level=cfg.finest_scale)
+                             start_level=cfg.finest_scale,
+                             ingest_bias=bias)
 
     @jax.jit
     def chained(If):
@@ -77,7 +82,7 @@ def stream_chain_timer(H, W, cfg, frame_flat, n=64, trials=5):
 
         def body(i, carry):
             pyr_prev, init, acc = carry
-            pyr_new = pyramid(If + acc * 1e-12)      # ingest one new frame
+            pyr_new = pyramid(If, bias=acc * 1e-12)  # ingest one new frame
             flow = dis_flow_from_pyramids(pyr_prev, pyr_new, cfg,
                                           init_flow=init)
             out = upsample_flow_to_full(flow, cfg, H, W)

@@ -21,6 +21,10 @@ Design (all structured around what's fast on the VPU/MXU):
     narrow 128-aligned band per 128-lane output chunk — 1.8x fewer MACs
     than the full [BW, BW/2] contraction (measured ~10% on a 4K level;
     the kernel is mostly DMA-bound).
+  * The 0/1 matrices are generated IN-KERNEL from iota arithmetic —
+    passing them as operands costs one HBM->VMEM DMA per buffer per
+    launch (~8 DMA streams/frame in the streamed-video trace); the iota
+    compares are a few VPU ops on tiny tiles.
   * Manual bf16x3 split: a = a1 + a2 + a3 with each part exactly
     bf16-representable covers all 24 fp32 mantissa bits, so three native
     bf16 matmuls against the exactly-representable 0/1 matrix recover
@@ -32,12 +36,23 @@ Design (all structured around what's fast on the VPU/MXU):
     ~0.5 absolute error on a 0..255 image).  Both the row and column
     pools use the split, so each block costs 6 tiny bf16 matmuls — noise
     next to the HBM traffic.
+  * Ragged widths are masked in-kernel (edge blocks zero their
+    out-of-image lanes; Pallas clips the partial output block), so
+    non-multiple-of-BW levels pay no host-visible pad/slice copy — the
+    streamed-4K trace showed a 0.034 ms full-level pad between pyramid
+    levels 1 and 2 (1080p flat width 5760 does not divide 768).
+  * An optional scalar ``bias`` is added to the input inside the kernel
+    (pool(x + b) == pool(x) + b for a 2x2 average; the add is applied to
+    x pre-split, so results are bit-identical to adding outside).  The
+    streamed-video loop uses it to fuse frame ingest into the first
+    pyramid level — the standalone full-frame add costs a 100 MB
+    read+write at 4K (~0.14 ms) that the fused form absorbs into the
+    pool's own read.
 
 BW = 768 is a multiple of 2C for C in {1, 3} and of 256 (so both the
-input block and the BW/2-wide output block are lane-tile aligned);
-widths that don't divide are lane-padded and the result sliced.  Blocks
-that overrun the image bottom read unspecified rows; the affected output
-rows are cropped by the caller-visible out_shape, never observed.
+input block and the BW/2-wide output block are lane-tile aligned).
+Blocks that overrun the image bottom read unspecified rows; the affected
+output rows are cropped by the caller-visible out_shape, never observed.
 """
 
 from __future__ import annotations
@@ -46,7 +61,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -54,44 +68,41 @@ _BW = 768
 _BR = 64
 
 
-@functools.lru_cache(maxsize=8)
-def _sel_matrix(bw: int, channels: int) -> np.ndarray:
-    """[bw, bw//2] with ones at the two source lanes of each output lane:
-    out lane C*k+ch <- in lanes 2C*k+ch and 2C*k+C+ch."""
-    sel = np.zeros((bw, bw // 2), np.float32)
-    n = np.arange(bw // 2)
-    m0 = (n // channels) * 2 * channels + (n % channels)
-    sel[m0, n] = 1.0
-    sel[m0 + channels, n] = 1.0
-    return sel
+def _band_ranges(bw: int, channels: int):
+    """Static (lo, hi) input-lane range per 128-lane output chunk.
 
-
-@functools.lru_cache(maxsize=8)
-def _sel_bands(bw: int, channels: int):
-    """Split sel into one narrow 128-aligned band per 128-lane output
-    chunk: out chunk [128m, 128m+128) reads only input lanes around
-    [2*128m, 2*128m+256+2C) — a (lo, hi, band) triple per chunk with the
-    guarantee sel[i, n] == 0 for i outside [lo, hi)."""
-    sel = _sel_matrix(bw, channels)
-    bands = []
+    Output lane n = C*k + ch reads input lanes m0 = 2C*k + ch and m0 + C;
+    for the chunk n in [128m, 128m+128) that is m in
+    [2*128m - slack, 2*(128m+128) + C), rounded to 128-lane tiles.
+    """
+    ranges = []
     for m in range(bw // 2 // 128):
-        cols = sel[:, m * 128:(m + 1) * 128]
-        nz = np.nonzero(cols.any(axis=1))[0]
-        lo = (int(nz.min()) // 128) * 128
-        hi = min(-(-(int(nz.max()) + 1) // 128) * 128, bw)
-        assert cols[:lo].sum() == 0 and cols[hi:].sum() == 0
-        bands.append((lo, hi, cols[lo:hi]))
-    return tuple(bands)
+        n_lo, n_hi = m * 128, m * 128 + 127
+        m_lo = (n_lo // channels) * 2 * channels + (n_lo % channels)
+        m_hi = (n_hi // channels) * 2 * channels + (n_hi % channels) + channels
+        lo = (m_lo // 128) * 128
+        hi = min(-(-(m_hi + 1) // 128) * 128, bw)
+        ranges.append((lo, hi))
+    return tuple(ranges)
 
 
-@functools.lru_cache(maxsize=2)
-def _row_matrix(br: int) -> np.ndarray:
-    """[br, 2*br] two-ones-per-row matrix: out row k <- in rows 2k, 2k+1."""
-    L = np.zeros((br, 2 * br), np.float32)
-    k = np.arange(br)
-    L[k, 2 * k] = 1.0
-    L[k, 2 * k + 1] = 1.0
-    return L
+def _row_matrix_iota(br: int) -> jax.Array:
+    """[br, 2*br] bf16 one-hot: out row k <- in rows 2k, 2k+1 (in-kernel)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (br, 2 * br), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (br, 2 * br), 1)
+    return ((c == 2 * r) | (c == 2 * r + 1)).astype(jnp.bfloat16)
+
+
+def _band_matrix_iota(lo: int, hi: int, n0: int, channels: int) -> jax.Array:
+    """[hi-lo, 128] bf16 band of the column-pair matrix (in-kernel).
+
+    Column j selects input lanes m0 = 2C*(n//C) + n%C and m0 + C for
+    global output lane n = n0 + j; rows are global input lanes lo..hi.
+    """
+    i = jax.lax.broadcasted_iota(jnp.int32, (hi - lo, 128), 0) + lo
+    n = jax.lax.broadcasted_iota(jnp.int32, (hi - lo, 128), 1) + n0
+    m0 = (n // channels) * (2 * channels) + n % channels
+    return ((i == m0) | (i == m0 + channels)).astype(jnp.bfloat16)
 
 
 def _split3(a):
@@ -112,22 +123,32 @@ def _mm3(a, onehot):
     return acc
 
 
-def _pool_kernel(x_ref, L_ref, *refs, n_rows: int, bands):
-    band_refs = refs[:-1]
-    o_ref = refs[-1]
+def _pool_kernel(*refs, n_rows: int, n_cols: int, channels: int, ranges,
+                 has_bias: bool):
+    if has_bias:
+        b_ref, x_ref, o_ref = refs
+    else:
+        x_ref, o_ref = refs
+        b_ref = None
     x = x_ref[:]                    # [2*BR, BW] raw interleaved rows
     if n_rows % (2 * _BR):
         # Blocks overrunning the image bottom read unspecified rows; a NaN
         # there would poison the left matmul through 0 * NaN, so zero them.
         jj = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
         x = jnp.where(jj + pl.program_id(0) * (2 * _BR) < n_rows, x, 0.0)
-    L = L_ref[:]
+    if n_cols % _BW:
+        # Likewise for the ragged right edge (last column block).
+        cc = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        x = jnp.where(cc + pl.program_id(1) * _BW < n_cols, x, 0.0)
+    if b_ref is not None:
+        x = x + b_ref[0, 0]
+    L = _row_matrix_iota(_BR)
     x1, x2, x3 = _split3(x)
     a = jnp.dot(L, x1, preferred_element_type=jnp.float32)
     a += jnp.dot(L, x2, preferred_element_type=jnp.float32)
     a += jnp.dot(L, x3, preferred_element_type=jnp.float32)
-    outs = [_mm3(a[:, lo:hi], bref[:])
-            for (lo, hi, _), bref in zip(bands, band_refs)]
+    outs = [_mm3(a[:, lo:hi], _band_matrix_iota(lo, hi, m * 128, channels))
+            for m, (lo, hi) in enumerate(ranges)]
     o_ref[:] = jnp.concatenate(outs, axis=1) * 0.25
 
 
@@ -138,7 +159,8 @@ def pool2x2(img: jax.Array, interpret: bool = False) -> jax.Array:
     return out.reshape(H // 2, W // 2, C)
 
 
-def pool2x2_flat(x: jax.Array, C: int, interpret: bool = False) -> jax.Array:
+def pool2x2_flat(x: jax.Array, C: int, bias=None,
+                 interpret: bool = False) -> jax.Array:
     """2x2 average pool on the flat view: [H, W*C] -> [H//2, W*C//2].
 
     Callers that can should stay in this 2D form across the whole
@@ -146,31 +168,29 @@ def pool2x2_flat(x: jax.Array, C: int, interpret: bool = False) -> jax.Array:
     boundary tempts XLA's layout assignment into a lane-padded layout for
     the producer (measured 12.7 ms for one 4K elementwise add) plus a
     multi-GB relayout.  All-2D chains keep the packed layout throughout.
+
+    ``bias``: optional traced scalar added to the input inside the kernel
+    (bit-identical to pooling ``x + bias``) — lets a streaming caller
+    fuse frame ingest into the first level's read.
     """
     H, wc = x.shape
     assert H % 2 == 0 and wc % (2 * C) == 0
-    pad = (-wc) % _BW
-    if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad)))
-    wcp = wc + pad
-    nj = wcp // _BW
-    grid = (pl.cdiv(H // 2, _BR), nj)
-    bands = _sel_bands(_BW, C)
-    out = pl.pallas_call(
-        functools.partial(_pool_kernel, n_rows=H, bands=bands),
-        out_shape=jax.ShapeDtypeStruct((H // 2, wcp // 2), jnp.float32),
+    grid = (pl.cdiv(H // 2, _BR), pl.cdiv(wc, _BW))
+    ranges = _band_ranges(_BW, C)
+    has_bias = bias is not None
+    in_specs = [pl.BlockSpec((2 * _BR, _BW), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)]
+    args = [x]
+    if has_bias:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.insert(0, jnp.asarray(bias, jnp.float32).reshape(1, 1))
+    return pl.pallas_call(
+        functools.partial(_pool_kernel, n_rows=H, n_cols=wc, channels=C,
+                          ranges=ranges, has_bias=has_bias),
+        out_shape=jax.ShapeDtypeStruct((H // 2, wc // 2), jnp.float32),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((2 * _BR, _BW), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BR, 2 * _BR), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec((hi - lo, 128), lambda i, j: (0, 0),
-                          memory_space=pltpu.VMEM)
-             for (lo, hi, _) in bands],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((_BR, _BW // 2), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, jnp.asarray(_row_matrix(_BR), jnp.bfloat16),
-      *[jnp.asarray(b, jnp.bfloat16) for (_, _, b) in bands])
-    return out[:, :wc // 2]
+    )(*args)

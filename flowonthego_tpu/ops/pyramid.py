@@ -107,19 +107,25 @@ def downsample_half(img: jax.Array) -> jax.Array:
     return pooled * 0.25
 
 
-def _downsample_half_flat(x: jax.Array, C: int) -> jax.Array:
+def _downsample_half_flat(x: jax.Array, C: int, bias=None) -> jax.Array:
     """2x2 average pool on the flat [H, W*C] view (layout-safe chain).
 
     Keeping the whole downsample chain rank-2 matters: a rank-3
     [H, W, 3] value crossing the Pallas boundary tempts XLA's layout
     assignment into a lane-padded layout for the producer plus a
     multi-GB relayout (see ops/pallas/pool.py docstring).
+
+    ``bias``: optional traced scalar added to the input inside the pool
+    (result == pooling ``x + bias``); fuses a streaming caller's frame
+    ingest into the level's read instead of a standalone full-frame add.
     """
     h = x.shape[0]
     if (pool_gate(x.size, h, x.shape[1], C)
             and jax.default_backend() == "tpu"):
         from .pallas.pool import pool2x2_flat
-        return pool2x2_flat(x, C)
+        return pool2x2_flat(x, C, bias=bias)
+    if bias is not None:
+        x = x + bias
     w = x.shape[1] // C
     img = x.reshape(h, w, C)
     pooled = jax.lax.reduce_window(img, 0.0, jax.lax.add,
@@ -128,7 +134,8 @@ def _downsample_half_flat(x: jax.Array, C: int) -> jax.Array:
 
 
 def build_pyramid(img: jax.Array, n_levels: int, padding: int,
-                  start_level: int = 0) -> List[PyramidLevel]:
+                  start_level: int = 0,
+                  ingest_bias=None) -> List[PyramidLevel]:
     """Build ``n_levels`` levels (level 0 = full res) of image+gradient
     pyramids, padded for patch addressing.
 
@@ -141,15 +148,27 @@ def build_pyramid(img: jax.Array, n_levels: int, padding: int,
     padding (their ``image`` is the raw level, ``grad_* = None``).  At the
     reference's operating points this skips all full-resolution gradient/
     padding passes — the dominant cost at 4K.
+
+    ``ingest_bias``: optional traced scalar; the pyramid equals
+    ``build_pyramid(img + ingest_bias, ...)`` but the add is fused into
+    the first downsample's read (streamed-video ingest).  Requires
+    ``start_level >= 1``: levels below ``start_level`` store the PRE-bias
+    image (they only feed the downsample chain, which applies the bias),
+    and with ``start_level == 0`` the full-res level would be consumed
+    un-biased.
     """
     H, W, C = img.shape
+    if ingest_bias is not None and start_level < 1:
+        raise ValueError("ingest_bias requires start_level >= 1 (the "
+                         "full-resolution level would miss the bias)")
     levels = []
     # The downsample chain runs on the flat [h, w*C] view end to end —
     # rank-2 keeps XLA layouts packed across the Pallas pool boundary.
     cur = img.reshape(H, W * C)
     for lvl in range(n_levels):
         if lvl > 0:
-            cur = _downsample_half_flat(cur, C)
+            cur = _downsample_half_flat(
+                cur, C, bias=ingest_bias if lvl == 1 else None)
         h, w = H >> lvl, W >> lvl
         if lvl < start_level:
             levels.append(PyramidLevel(image=cur.reshape(h, w, C),

@@ -42,6 +42,43 @@ def test_pool2x2_matches_reduce_window(rng, shape):
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-4)
 
 
+def test_pool2x2_flat_ragged_width_and_bias(rng):
+    """Ragged (non-multiple-of-block) flat widths are masked in-kernel
+    (no host-visible pad/slice), and the fused ingest bias is
+    bit-identical to adding the scalar before pooling."""
+    from flowonthego_tpu.ops.pallas.pool import pool2x2_flat, _BW
+    h, w, C = 40, 322, 3          # flat width 966: one full + one ragged block
+    assert (w * C) % _BW != 0 and w * C > _BW
+    x = jnp.asarray(rng.random((h, w * C)).astype(np.float32) * 255)
+    ref = np.asarray(
+        (x.reshape(h // 2, 2, w // 2, 2, C).mean(axis=(1, 3)))
+        .reshape(h // 2, (w // 2) * C))
+    got = np.asarray(pool2x2_flat(x, C, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-4)
+
+    bias = jnp.float32(3.25)
+    with_bias = np.asarray(pool2x2_flat(x, C, bias=bias, interpret=True))
+    plain = np.asarray(pool2x2_flat(x + bias, C, interpret=True))
+    np.testing.assert_array_equal(with_bias, plain)
+
+
+def test_build_pyramid_ingest_bias(rng):
+    """build_pyramid(img, ingest_bias=b) == build_pyramid(img + b) on the
+    processed levels (start_level and coarser)."""
+    import jax
+    from flowonthego_tpu.ops.pyramid import build_pyramid
+    img = jnp.asarray(rng.random((32, 48, 3)).astype(np.float32) * 255)
+    b = jnp.float32(0.125)
+    fused = build_pyramid(img, 3, padding=4, start_level=1, ingest_bias=b)
+    plain = build_pyramid(img + b, 3, padding=4, start_level=1)
+    for lvl in range(1, 3):
+        for a, r in zip(fused[lvl], plain[lvl]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       rtol=1e-6, atol=1e-4)
+    with pytest.raises(ValueError):
+        build_pyramid(img, 3, padding=4, start_level=0, ingest_bias=b)
+
+
 @pytest.mark.parametrize("level,channels", [(0, 3), (1, 3), (0, 1)])
 def test_tiled_varref_matches_xla(rng, level, channels):
     """Halo-tiled refine (fields past the single-block VMEM ceiling) ==

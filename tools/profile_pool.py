@@ -22,9 +22,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 sys.path.insert(0, ".")
-from flowonthego_tpu.ops.pallas.pool import (_BW, _BR, _mm3, _row_matrix,
-                                             _sel_matrix, _split3,
+from flowonthego_tpu.ops.pallas.pool import (_BW, _BR, _mm3, _split3,
                                              pool2x2_flat)
+
+
+def _row_matrix(br):
+    """[br, 2*br] two-ones-per-row matrix (out row k <- in rows 2k, 2k+1),
+    as a host-side operand (the production kernel builds it from iota)."""
+    L = np.zeros((br, 2 * br), np.float32)
+    k = np.arange(br)
+    L[k, 2 * k] = 1.0
+    L[k, 2 * k + 1] = 1.0
+    return jnp.asarray(L, jnp.bfloat16)
+
+
+def _sel_matrix(bw, channels):
+    """[bw, bw//2] column-pair matrix (host-side operand variant)."""
+    sel = np.zeros((bw, bw // 2), np.float32)
+    n = np.arange(bw // 2)
+    m0 = (n // channels) * 2 * channels + (n % channels)
+    sel[m0, n] = 1.0
+    sel[m0 + channels, n] = 1.0
+    return sel
 
 
 def _sel_bands(bw, C):

@@ -39,9 +39,10 @@ def main():
     n_levels = cfg.coarsest_scale + 1
     init_h, init_w = H >> (cfg.coarsest_scale + 1), W >> (cfg.coarsest_scale + 1)
 
-    def pyramid(x):
+    def pyramid(x, bias=None):
         return build_pyramid(x.reshape(H, W, 3), n_levels, cfg.padding,
-                             start_level=cfg.finest_scale)
+                             start_level=cfg.finest_scale,
+                             ingest_bias=bias)
 
     @jax.jit
     def chained(x):
@@ -50,7 +51,7 @@ def main():
 
         def body(i, carry):
             pyr_prev, init, acc = carry
-            pyr_new = pyramid(x + acc * 1e-12)
+            pyr_new = pyramid(x, bias=acc * 1e-12)
             flow = dis_flow_from_pyramids(pyr_prev, pyr_new, cfg,
                                           init_flow=init)
             out = upsample_flow_to_full(flow, cfg, H, W)
