@@ -52,10 +52,10 @@ def envelope_fits(P: int, E: int, C: int) -> bool:
 
 def use_pallas_gn(cfg: DISConfig, n_patches: int, E: int, C: int,
                   ps: int) -> bool:
-    """Resolve cfg.gn_backend for one scale's envelope loop.
+    """Resolve cfg.gn_backend for one scale's fused solve.
 
     "auto" picks the fused Pallas kernel (ops/pallas/dis_gn — the whole
-    envelope GN loop in one launch, the analogue of the reference's
+    per-scale solve in one launch, the analogue of the reference's
     persistent kernel optimize.cu:97-243) on TPU when the per-scale
     operands fit VMEM; "pallas" forces it (interpret mode off-TPU).
     """
@@ -65,23 +65,27 @@ def use_pallas_gn(cfg: DISConfig, n_patches: int, E: int, C: int,
         return False
     Pp = -(-n_patches // 128) * 128
     K = ps + 1
-    # bf16 sampling stores env + weight stack at half width (upcast on
+    # bf16 sampling stores env/weights/windows at half width (upcast on
     # read inside the kernel); scalar state and scratch stay fp32.
     item = 2 if cfg.dtype == "bfloat16" else 4
-    operands = item * Pp * (E * E * C + 4 * ps * ps * C) + 4 * Pp * 17
-    scratch = 4 * Pp * (K * E * C + K * K * C + ps * ps * C)
+    operands = item * Pp * (E * E * C + 3 * ps * ps * C + K * K * C) \
+        + 4 * Pp * 15
+    scratch = 4 * Pp * (K * E * C + K * K * C + 3 * ps * ps * C)
     return (jax.default_backend() == "tpu"
             and operands + scratch <= _GN_PALLAS_VMEM_LIMIT)
 
 
-def _run_gn_pallas(state: "PatchState", env, env_sy, env_sx, gx_sum, gy_sum,
-                   gxT, gyT, h00, h01, h11, det, p_cur, active,
+def _run_gn_pallas(state: "PatchState", env, env_sy, env_sx, win1, gx_sum,
+                   gy_sum, gxT, gyT, h00, h01, h11, det, started,
                    grid: PatchGrid, cfg: DISConfig, E: int, K: int, C: int,
-                   mean_on: float) -> jax.Array:
-    """Pack operands patches-on-lanes and run the fused envelope loop."""
-    from .pallas.dis_gn import gn_envelope_loop
+                   mean_on: float):
+    """Pack operands patches-on-lanes and run the fused scale solve.
+
+    Returns (p_cur [n_h, n_w, 2], cost_px [n_h, n_w, ps, ps, C]).
+    """
+    from .pallas.dis_gn import gn_scale_loop
     ps = grid.patch_size
-    n_h, n_w = active.shape
+    n_h, n_w = started.shape
     P = n_h * n_w
     Pp = -(-P // 128) * 128
     f32 = jnp.float32
@@ -91,14 +95,15 @@ def _run_gn_pallas(state: "PatchState", env, env_sy, env_sx, gx_sum, gy_sum,
     samp = env.dtype
 
     env_t = jnp.pad(env, ((0, Pp - P), (0, 0), (0, 0))).transpose(1, 2, 0)
+    win1_t = jnp.pad(win1.reshape(P, K, K * C).astype(samp),
+                     ((0, Pp - P), (0, 0), (0, 0))).transpose(1, 2, 0)
 
     def pps(x):
         return x.reshape(P, ps, ps * C)
 
-    w4 = jnp.stack([pps(jnp.ones_like(state.templates)),
-                    pps(state.templates), pps(state.tgrad_x),
+    w3 = jnp.stack([pps(state.templates), pps(state.tgrad_x),
                     pps(state.tgrad_y)], 0).astype(samp)
-    w4_t = jnp.pad(w4, ((0, 0), (0, Pp - P), (0, 0), (0, 0))
+    w3_t = jnp.pad(w3, ((0, 0), (0, Pp - P), (0, 0), (0, 0))
                    ).transpose(0, 2, 3, 1)
 
     def flat(x):
@@ -115,20 +120,24 @@ def _run_gn_pallas(state: "PatchState", env, env_sy, env_sx, gx_sum, gy_sum,
     consts = jnp.pad(consts, ((0, 0), (0, Pp - P)))
     if Pp > P:
         consts = consts.at[11, P:].set(1.0)
-    pstate = jnp.stack([flat(p_cur[..., 0]), flat(p_cur[..., 1]),
-                        active.reshape(P).astype(f32)], 0)
-    pstate = jnp.pad(pstate, ((0, 0), (0, Pp - P)))
+    started_t = jnp.pad(started.reshape(1, P).astype(f32),
+                        ((0, 0), (0, Pp - P)))
 
-    out = gn_envelope_loop(
-        env_t, w4_t, consts, pstate, n_iters=cfg.grad_descent_iter - 1,
+    p_out, cost_out = gn_scale_loop(
+        env_t, w3_t, win1_t, consts, started_t,
+        n_iters=cfg.grad_descent_iter - 1,
         E=E, K=K, C=C, ps=ps, padding=grid.padding,
         thresh=cfg.outlier_thresh, l_bound=grid.l_bound,
         ub_w=grid.u_bound_w, ub_h=grid.u_bound_h, mean_on=mean_on,
         n_vals=float(ps * ps * C),
         interpret=jax.default_backend() != "tpu")
-    return jnp.stack([out[0, :P].reshape(n_h, n_w),
-                      out[1, :P].reshape(n_h, n_w)],
-                     axis=-1).astype(state.templates.dtype)
+    dtype = state.templates.dtype
+    p_cur = jnp.stack([p_out[0, :P].reshape(n_h, n_w),
+                       p_out[1, :P].reshape(n_h, n_w)],
+                      axis=-1).astype(dtype)
+    cost_px = cost_out.transpose(2, 0, 1)[:P].reshape(
+        n_h, n_w, ps, ps, C).astype(dtype)
+    return p_cur, cost_px
 
 
 class PatchState(NamedTuple):
@@ -500,19 +509,34 @@ def optimize(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
     def body(_, carry):
         return gn_step(*carry, reductions_env)
 
+    if (env_ok and cfg.grad_descent_iter >= 1
+            and use_pallas_gn(cfg, P, E, C, ps)):
+        # The WHOLE scale solve in ONE Pallas launch (the analogue of the
+        # reference's persistent kernel, optimize.cu:97-243): only the
+        # iteration-1 window gather (arbitrary warm-start displacement)
+        # stays outside; the kernel runs iteration 1, the envelope loop,
+        # and the final per-pixel cost (a reset patch's final position is
+        # its warm start — exactly where iteration 1 sampled — so the
+        # kernel reuses that captured cost instead of resampling outside
+        # the envelope).  ``diff`` (the signed residual tensor) is not
+        # materialized on this path — nothing downstream of a fixed-trip
+        # l2 solve consumes it (densification weights come from cost_px).
+        mid0 = state.mid_org + state.p_cur
+        win1, _, _ = gather_windows(I1_s, mid0[..., 0], mid0[..., 1], ps,
+                                    grid.padding)
+        p_cur, cost_px = _run_gn_pallas(
+            state, env, env_sy, env_sx, win1, gx_sum, gy_sum, gxT, gyT,
+            h00, h01, h11, det, started, grid, cfg, E, K, C, mean_on)
+        return state._replace(p_cur=p_cur, cost_px=cost_px,
+                              diff=jnp.zeros_like(state.diff),
+                              converged=jnp.ones_like(state.converged))
+
     # The first step samples at the warm start (arbitrary displacement,
     # general gather); accepted positions afterwards are envelope-bounded.
     p_cur, active = state.p_cur, started
     if cfg.grad_descent_iter > 0:
         p_cur, active = gn_step(p_cur, active, reductions)
-    if (env_ok and cfg.grad_descent_iter > 1
-            and use_pallas_gn(cfg, P, E, C, ps)):
-        # all remaining iterations in ONE Pallas launch (the analogue of
-        # the reference's persistent kernel, optimize.cu:97-243)
-        p_cur = _run_gn_pallas(state, env, env_sy, env_sx, gx_sum, gy_sum,
-                               gxT, gyT, h00, h01, h11, det, p_cur, active,
-                               grid, cfg, E, K, C, mean_on)
-    elif cfg.grad_descent_iter > 1:
+    if cfg.grad_descent_iter > 1:
         p_cur, _ = jax.lax.fori_loop(1, cfg.grad_descent_iter, body,
                                      (p_cur, active))
 

@@ -1,9 +1,24 @@
-"""Fused Gauss-Newton envelope loop — the DIS patch solve as one kernel.
+"""Fused Gauss-Newton scale solve — the DIS patch optimizer as one kernel.
 
-The XLA envelope path (ops/dis.py) still dispatches ~30 small ops per
+The XLA envelope path (ops/dis.py) dispatches ~30 small ops per
 Gauss-Newton iteration (~40 us/iter at the 4K fine scale for ~10 us of
-arithmetic).  This kernel runs ALL envelope iterations (2..gd_iter) in a
-single Pallas invocation with every operand VMEM-resident.
+arithmetic), plus a whole-image window gather and ~15 more ops for the
+final per-pixel cost.  This kernel runs the ENTIRE per-scale solve in a
+single Pallas invocation with every operand VMEM-resident:
+
+  * iteration 1 (arbitrary warm-start displacement) from pre-gathered
+    windows — the one whole-image gather a scale cannot avoid stays
+    outside, but its blend, mean-normalization, projection, and outlier
+    test happen in-kernel;
+  * iterations 2..gd_iter from the displacement-bounded envelope stack
+    (every ACCEPTED step satisfies |mid - mid_org| <= outlier_thresh, so
+    from the second iteration on, windows live in a small static
+    per-patch envelope);
+  * the final resample + per-pixel squared residual (densification
+    weights).  A patch that tripped the outlier reset sits at p_org —
+    exactly where iteration 1 sampled — so its final cost is iteration
+    1's captured cost and needs no out-of-envelope sampling
+    (optimize.cu:66-88: the reset restores p_org and freezes the patch).
 
 Layout: patches ride the 128-wide lane axis (P padded to a lane-tile
 multiple); the per-patch envelope row/column selects become at most
@@ -14,13 +29,13 @@ per-patch lane predicate:
 
 — pure VPU multiplies by 0/1 masks, so the arithmetic is bit-exact fp32
 (no MXU precision games needed).  The bilinear blend is two static
-sublane shifts; the four Gauss-Newton reductions are plain axis sums
-against the pre-transposed weight stack.
+sublane shifts; the Gauss-Newton reductions are plain axis sums against
+the pre-transposed weight stack.
 
-Semantics match ops/dis.optimize's envelope iterations exactly
-(optimize.cu:23-94 projection + :66-88 outlier reset).  Wired as the TPU
-default through ``cfg.gn_backend`` (ops/dis.optimize packs the operands);
-equivalence vs the XLA envelope loop is asserted in interpret mode by
+Semantics match ops/dis.optimize's XLA form (optimize.cu:23-94
+projection + :66-88 outlier reset + :193-208 final cost).  Wired as the
+TPU default through ``cfg.gn_backend`` (ops/dis.optimize packs the
+operands); equivalence vs the XLA loop is asserted in interpret mode by
 tests/test_dis_gn_pallas.py and on device by the end-to-end EPE.
 """
 
@@ -34,12 +49,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(env_ref, w4_ref, c_ref, p_ref, o_ref, *, n_iters: int, E: int,
-            K: int, C: int, ps: int, padding: int, thresh: float,
-            l_bound: float, ub_w: float, ub_h: float, mean_on: float,
-            n_vals: float):
-    # consts [12, P]: midx, midy, p0x, p0y, gx_sum, gy_sum, gxT, gyT,
-    #                 h00, h01, h11, det   (env start sy/sx in c2 [2, P])
+def _kernel(env_ref, w3_ref, win1_ref, c_ref, s_ref, op_ref, oc_ref, *,
+            n_iters: int, E: int, K: int, C: int, ps: int, padding: int,
+            thresh: float, l_bound: float, ub_w: float, ub_h: float,
+            mean_on: float, n_vals: float):
+    # consts [14, P]: midx, midy, p0x, p0y, gx_sum, gy_sum, gxT, gyT,
+    #                 h00, h01, h11, det, env start sy, env start sx
     midx = c_ref[0:1, :]
     midy = c_ref[1:2, :]
     p0x = c_ref[2:3, :]
@@ -55,25 +70,33 @@ def _kernel(env_ref, w4_ref, c_ref, p_ref, o_ref, *, n_iters: int, E: int,
     env_sy = c_ref[12:13, :]
     env_sx = c_ref[13:14, :]
 
-    # bf16 sampling mode stores env/w4 at half width in VMEM (the operands
-    # dominate the kernel's footprint); all arithmetic stays fp32.
-    env = env_ref[:].astype(jnp.float32)   # [E, EC, P]
-    w4 = w4_ref[:].astype(jnp.float32)     # [4, ps, ps*C, P]
+    # bf16 sampling mode stores env/w3/win1 at half width in VMEM (the
+    # operands dominate the kernel's footprint); all arithmetic is fp32.
+    env = env_ref[:].astype(jnp.float32)    # [E, EC, P]
+    w3 = w3_ref[:].astype(jnp.float32)      # [3, ps, ps*C, P]: T, gx, gy
+    win1 = win1_ref[:].astype(jnp.float32)  # [K, KC, P]
     KC = K * C
+    psc = ps * C
     n_shift = E - K + 1
+    off = float(padding - ps // 2)
 
-    def body(carry):
-        px, py, act = carry   # [1, P] f32, f32, f32(0/1)
+    def blend(W2, rx, ry):
+        """Bilinear 4-shift blend [K, KC, P] -> sample S [ps, psC, P]."""
+        w_tl = (1.0 - rx) * (1.0 - ry)
+        w_tr = rx * (1.0 - ry)
+        w_bl = (1.0 - rx) * ry
+        w_br = rx * ry
+        return (w_tl * W2[:ps, :psc, :] + w_tr * W2[:ps, C:C + psc, :]
+                + w_bl * W2[1:, :psc, :] + w_br * W2[1:, C:C + psc, :])
+
+    def env_window(px, py):
+        """(W2, rx, ry) for the envelope window at p = (px, py)."""
         mx = midx + px
         my = midy + py
         fx = jnp.floor(mx)
         fy = jnp.floor(my)
-        rx = mx - fx
-        ry = my - fy
-        off = float(padding - ps // 2)
         oy = fy + off - env_sy     # float compare below (integral values)
         ox = fx + off - env_sx
-
         # rows: W1[r, :, p] = env[oy_p + r, :, p]
         W1 = jnp.zeros((K, env.shape[1], px.shape[1]), jnp.float32)
         for s in range(n_shift):
@@ -84,21 +107,19 @@ def _kernel(env_ref, w4_ref, c_ref, p_ref, o_ref, *, n_iters: int, E: int,
         for s in range(n_shift):
             W2 = W2 + W1[:, s * C:s * C + KC, :] * \
                 jnp.where(ox == float(s), 1.0, 0.0)
+        return W2, mx - fx, my - fy
 
-        # bilinear 4-shift blend -> S [ps, ps*C, P]
-        w_tl = (1.0 - rx) * (1.0 - ry)
-        w_tr = rx * (1.0 - ry)
-        w_bl = (1.0 - rx) * ry
-        w_br = rx * ry
-        psc = ps * C
-        S = (w_tl * W2[:ps, :psc, :] + w_tr * W2[:ps, C:C + psc, :]
-             + w_bl * W2[1:, :psc, :] + w_br * W2[1:, C:C + psc, :])
+    def cost_of(S):
+        """Mean-normalize, subtract template, square (per-pixel l2)."""
+        m = jnp.sum(S, axis=(0, 1))[None, :] / n_vals * mean_on
+        d = (S - m[None, :, :]) - w3[0]
+        return d * d
 
-        # reductions [sum S, sum T.S, sum gx.S, sum gy.S]
-        red0 = jnp.sum(S * w4[0], axis=(0, 1))[None, :]
-        red2 = jnp.sum(S * w4[2], axis=(0, 1))[None, :]
-        red3 = jnp.sum(S * w4[3], axis=(0, 1))[None, :]
-
+    def project(px, py, act, S):
+        """One Gauss-Newton step + outlier/bounds reset from sample S."""
+        red0 = jnp.sum(S, axis=(0, 1))[None, :]
+        red2 = jnp.sum(S * w3[1], axis=(0, 1))[None, :]
+        red3 = jnp.sum(S * w3[2], axis=(0, 1))[None, :]
         m = red0 / n_vals * mean_on
         dpx = red2 - m * gx_sum - gxT
         dpy = red3 - m * gy_sum - gyT
@@ -116,34 +137,58 @@ def _kernel(env_ref, w4_ref, c_ref, p_ref, o_ref, *, n_iters: int, E: int,
         py_new = outlier * p0y + (1.0 - outlier) * py_new
         px = act * px_new + (1.0 - act) * px
         py = act * py_new + (1.0 - act) * py
-        act = act * (1.0 - outlier)
-        return px, py, act
+        return px, py, act * (1.0 - outlier)
 
-    px = p_ref[0:1, :]
-    py = p_ref[1:2, :]
-    act = p_ref[2:3, :]
+    started = s_ref[0:1, :]
+
+    # --- iteration 1: blend the pre-gathered whole-image windows at the
+    # warm start p_org; capture its per-pixel cost (the final cost of any
+    # patch that later trips the outlier reset back to p_org) ---
+    mx1 = midx + p0x
+    my1 = midy + p0y
+    S1 = blend(win1, mx1 - jnp.floor(mx1), my1 - jnp.floor(my1))
+    cost1 = cost_of(S1)
+    px, py, act = project(p0x, p0y, started, S1)
+
+    # --- iterations 2..gd_iter from the envelope ---
+    def body(carry):
+        px, py, act = carry
+        W2, rx, ry = env_window(px, py)
+        return project(px, py, act, blend(W2, rx, ry))
+
     # fori_loop keeps the program size independent of gd_iter (operating
     # point 4 runs 128 iterations); the static shift loops inside body
     # stay unrolled.
-    carry = jax.lax.fori_loop(0, n_iters, lambda _, c: body(c),
-                              (px, py, act))
-    o_ref[0:1, :] = carry[0]
-    o_ref[1:2, :] = carry[1]
+    px, py, act = jax.lax.fori_loop(0, n_iters, lambda _, c: body(c),
+                                    (px, py, act))
+
+    # --- final per-pixel cost at the final midpoint (optimize.cu:193-208)
+    # act == 1: never reset -> final p is envelope-bounded, sample there.
+    # act == 0 & started: reset to p_org -> iteration 1's cost.
+    # never started: zero (the never-sampled ctor state).
+    W2f, rxf, ryf = env_window(px, py)
+    costf = cost_of(blend(W2f, rxf, ryf))
+    op_ref[0:1, :] = px
+    op_ref[1:2, :] = py
+    oc_ref[:] = started * (act * costf + (1.0 - act) * cost1)
 
 
-def gn_envelope_loop(env_t: jax.Array, w4_t: jax.Array, consts: jax.Array,
-                     pstate: jax.Array, *, n_iters: int, E: int, K: int,
-                     C: int, ps: int, padding: int, thresh: float,
-                     l_bound: float, ub_w: float, ub_h: float,
-                     mean_on: float, n_vals: float,
-                     interpret: bool = False) -> jax.Array:
-    """Run ``n_iters`` envelope GN iterations in one kernel.
+def gn_scale_loop(env_t: jax.Array, w3_t: jax.Array, win1_t: jax.Array,
+                  consts: jax.Array, started: jax.Array, *, n_iters: int,
+                  E: int, K: int, C: int, ps: int, padding: int,
+                  thresh: float, l_bound: float, ub_w: float, ub_h: float,
+                  mean_on: float, n_vals: float,
+                  interpret: bool = False):
+    """Run one scale's full Gauss-Newton solve in one kernel.
 
     env_t:  [E, E*C, Pp] envelope stack (patches on lanes, Pp % 128 == 0)
-    w4_t:   [4, ps, ps*C, Pp] weight stack (ones, template, gx, gy)
+    w3_t:   [3, ps, ps*C, Pp] weight stack (template, gx, gy)
+    win1_t: [K, K*C, Pp] iteration-1 windows (gathered at p_org outside)
     consts: [14, Pp] per-patch constants (see kernel)
-    pstate: [3, Pp] = (p_cur_x, p_cur_y, active)
-    Returns [2, Pp] final (p_cur_x, p_cur_y).
+    started: [1, Pp] 1.0 where the patch was not frozen at warm start
+    n_iters: envelope iterations to run (= grad_descent_iter - 1)
+    Returns (p [2, Pp] final flow, cost_px [ps, ps*C, Pp] final per-pixel
+    squared residual, densification-ready).
     """
     kern = functools.partial(
         _kernel, n_iters=n_iters, E=E, K=K, C=C, ps=ps, padding=padding,
@@ -152,8 +197,10 @@ def gn_envelope_loop(env_t: jax.Array, w4_t: jax.Array, consts: jax.Array,
     Pp = env_t.shape[-1]
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((2, Pp), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=(jax.ShapeDtypeStruct((2, Pp), jnp.float32),
+                   jax.ShapeDtypeStruct((ps, ps * C, Pp), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
         interpret=interpret,
-    )(env_t, w4_t, consts, pstate)
+    )(env_t, w3_t, win1_t, consts, started)

@@ -1,9 +1,10 @@
 """Fused Gauss-Newton Pallas kernel vs the XLA envelope loop.
 
-The kernel (ops/pallas/dis_gn.gn_envelope_loop) runs every envelope GN
-iteration in one launch; these tests assert it reproduces ops/dis.optimize's
-XLA envelope path (interpret mode on CPU; on-device parity is covered by the
-end-to-end bench EPE).
+The kernel (ops/pallas/dis_gn.gn_scale_loop) runs the WHOLE per-scale
+solve in one launch — iteration 1 from pre-gathered windows, the envelope
+loop, and the final per-pixel cost; these tests assert it reproduces
+ops/dis.optimize's XLA path (interpret mode on CPU; on-device parity is
+covered by the end-to-end bench EPE).
 """
 
 import dataclasses
@@ -75,7 +76,8 @@ def test_gn_pallas_matches_xla_warm_start(rng):
 
 @pytest.mark.parametrize("gd_iter", [1, 2])
 def test_gn_pallas_short_loops(rng, gd_iter):
-    """gd_iter == 1 skips the kernel entirely; == 2 runs a 1-iter kernel."""
+    """gd_iter == 1 runs a kernel with zero envelope iterations (iteration
+    1 + final cost only); == 2 adds one envelope iteration."""
     cfg = DISConfig(coarsest_scale=0, finest_scale=0,
                     grad_descent_iter=gd_iter)
     i0, i1 = _scene(rng, 48, 64)

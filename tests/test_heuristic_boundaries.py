@@ -63,8 +63,8 @@ def test_gn_pallas_flip_point(monkeypatch):
 
     def bytes_for(P):
         Pp = -(-P // 128) * 128
-        operands = Pp * (E * E * C + 4 * ps * ps * C + 17)
-        scratch = Pp * (K * E * C + K * K * C + ps * ps * C)
+        operands = Pp * (E * E * C + 3 * ps * ps * C + K * K * C + 15)
+        scratch = Pp * (K * E * C + K * K * C + 3 * ps * ps * C)
         return 4 * (operands + scratch)
 
     # find the last 128-block under the limit
