@@ -31,8 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import DISConfig
-from .interp import (blend_windows, gather_windows, gather_windows_matmul,
-                     sample_patches_bilinear, use_matmul_gather)
+from .interp import blend_windows, gather_windows, sample_patches_bilinear
 from .patches import PatchGrid
 
 # VMEM budget for the fused Pallas Gauss-Newton loop: operands
@@ -75,12 +74,14 @@ def use_pallas_gn(cfg: DISConfig, n_patches: int, E: int, C: int,
             and operands + scratch <= _GN_PALLAS_VMEM_LIMIT)
 
 
-def _run_gn_pallas(state: "PatchState", env, env_sy, env_sx, win1, gx_sum,
+def _run_gn_pallas(state: "PatchState", env4, env_sy, env_sx, win1, gx_sum,
                    gy_sum, gxT, gyT, h00, h01, h11, det, started,
                    grid: PatchGrid, cfg: DISConfig, E: int, K: int, C: int,
                    mean_on: float):
     """Pack operands patches-on-lanes and run the fused scale solve.
 
+    ``env4``: the envelope stack in grid form [n_h, E, n_w, E*C] (see the
+    im2col builder in :func:`optimize`).
     Returns (p_cur [n_h, n_w, 2], cost_px [n_h, n_w, ps, ps, C]).
     """
     from .pallas.dis_gn import gn_scale_loop
@@ -92,9 +93,10 @@ def _run_gn_pallas(state: "PatchState", env, env_sy, env_sx, win1, gx_sum,
     # Sampling operands keep the envelope's dtype (bf16 under
     # cfg.dtype="bfloat16" — half the VMEM footprint, upcast in-kernel);
     # everything scalar stays fp32.
-    samp = env.dtype
+    samp = env4.dtype
 
-    env_t = jnp.pad(env, ((0, Pp - P), (0, 0), (0, 0))).transpose(1, 2, 0)
+    env_t = jnp.pad(env4.transpose(1, 3, 0, 2).reshape(E, E * C, P),
+                    ((0, 0), (0, 0), (0, Pp - P)))
     win1_t = jnp.pad(win1.reshape(P, K, K * C).astype(samp),
                      ((0, Pp - P), (0, 0), (0, 0))).transpose(1, 2, 0)
 
@@ -427,35 +429,59 @@ def optimize(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
     # operand traffic per iteration at the 4K fine scale) with tiny
     # [K, E] selects.  Patches outside the envelope are exactly the
     # frozen ones, whose samples are masked anyway.
+    #
+    # The stack itself is a REGULAR tiling of the level image (row starts
+    # depend only on the grid row, column starts only on the grid column,
+    # both with stride ``steps``), so it is built with static im2col
+    # slices + concats — no one-hot matmuls, no per-patch gathers.
+    # Starts are NOT clipped; instead the image is zero-extended by the
+    # overhang.  Sound because an active in-box midpoint only ever
+    # selects envelope cells that lie inside the real padded image (the
+    # shift index oy = floor(my)+off-sy0 stays in [R-thresh, thresh+R+1]
+    # for accepted steps); the zero-filled slack cells are reachable only
+    # by frozen patches, whose samples are masked.
     Hp, Wp = I1_pad.shape[0], I1_pad.shape[1]
     R = int(np.ceil(cfg.outlier_thresh))
     K = ps + 1
     E = K + 2 * (R + 1)
     P = n_h * n_w
+    st = grid.steps
     env_ok = (sample_offset is None and E <= Hp and E <= Wp
               and envelope_fits(P, E, C))
     if env_ok:
-        mx0, my0 = grid.midpoints()
-        sy0 = np.clip(my0.astype(np.int64).reshape(-1)
-                      + grid.padding - ps // 2 - (R + 1), 0, Hp - E)
-        sx0 = np.clip(mx0.astype(np.int64).reshape(-1)
-                      + grid.padding - ps // 2 - (R + 1), 0, Wp - E)
-        sy_t = jnp.asarray(sy0, jnp.int32)
-        sx_t = jnp.asarray(sx0, jnp.int32)
-        if use_matmul_gather(P, E, I1_pad.shape):
-            env = gather_windows_matmul(I1_s, sy_t, sx_t, E)
-        else:
-            # the stage-2 one-hot operand [P, Wp*C, E*C] would blow the
-            # byte limit at full-resolution fine scales — slice instead
-            # (starts are pre-clamped, so semantics are identical)
-            env = jax.vmap(lambda sy, sx: jax.lax.dynamic_slice(
-                I1_s, (sy, sx, 0), (E, E, C)))(sy_t, sx_t)
-        env = env.reshape(P, E, E * C)
-        env_sy = jnp.asarray(sy0, jnp.int32).reshape(n_h, n_w)
-        env_sx = jnp.asarray(sx0, jnp.int32).reshape(n_h, n_w)
+        base_y = grid.offset_h + grid.padding - ps // 2 - (R + 1)
+        base_x = grid.offset_w + grid.padding - ps // 2 - (R + 1)
+        kseg = -(-E // st)                 # im2col segments per axis
+        pre_y = max(0, -base_y)
+        pre_x = max(0, -base_x)
+        post_y = max(0, base_y + pre_y + (n_h + kseg - 1) * st
+                     - (Hp + pre_y))
+        post_x = max(0, base_x + pre_x + (n_w + kseg - 1) * st
+                     - (Wp + pre_x))
+        flat = I1_s.reshape(Hp, Wp * C)
+        flat = jnp.pad(flat, ((pre_y, post_y), (pre_x * C, post_x * C)))
+        top = base_y + pre_y
+        left = (base_x + pre_x) * C
+        rows = jnp.concatenate(
+            [flat[top + a * st: top + (a + n_h) * st].reshape(
+                n_h, st, flat.shape[1]) for a in range(kseg)],
+            axis=1)[:, :E]                 # [n_h, E, W'']
+        env4 = jnp.concatenate(
+            [jax.lax.slice_in_dim(
+                rows, left + b * st * C, left + (b + n_w) * st * C,
+                axis=2).reshape(n_h, E, n_w, st * C) for b in range(kseg)],
+            axis=3)[..., :E * C]           # [n_h, E, n_w, EC]
+        my0 = np.arange(n_h) * st + base_y
+        mx0 = np.arange(n_w) * st + base_x
+        env_sy = jnp.asarray(np.broadcast_to(my0[:, None], (n_h, n_w)),
+                             jnp.int32)
+        env_sx = jnp.asarray(np.broadcast_to(mx0[None, :], (n_h, n_w)),
+                             jnp.int32)
         prec = jax.lax.Precision.HIGHEST
+        env_p = env4.transpose(0, 2, 1, 3).reshape(P, E, E * C)
 
         def reductions_env(p_cur):
+            env = env_p
             mid = state.mid_org + p_cur
             fx = jnp.floor(mid[..., 0])
             fy = jnp.floor(mid[..., 1])
@@ -525,7 +551,7 @@ def optimize(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
         win1, _, _ = gather_windows(I1_s, mid0[..., 0], mid0[..., 1], ps,
                                     grid.padding)
         p_cur, cost_px = _run_gn_pallas(
-            state, env, env_sy, env_sx, win1, gx_sum, gy_sum, gxT, gyT,
+            state, env4, env_sy, env_sx, win1, gx_sum, gy_sum, gxT, gyT,
             h00, h01, h11, det, started, grid, cfg, E, K, C, mean_on)
         return state._replace(p_cur=p_cur, cost_px=cost_px,
                               diff=jnp.zeros_like(state.diff),

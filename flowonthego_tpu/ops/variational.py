@@ -30,6 +30,13 @@ EPS_SMOOTH = 0.001 * 0.001
 # VMEM budget for the fused Pallas refine: the kernel keeps ~34 h*w
 # fp32 planes resident (8 derivative planes x3 channels + work fields).
 _PALLAS_VARREF_MAX_PIXELS = 88_000
+# Width cap for the SINGLE-BLOCK fused kernel: at w = 256 (2+ lane
+# tiles) the Mosaic compile of the fully-unrolled single block hangs
+# (>30 min; the op-point-3 scale-2 field 256x112 reproducibly took the
+# TPU worker down), while every <=128-lane-wide field compiles in
+# seconds.  Wider fields route to the halo-TILED kernel, whose blocks
+# are multi-tile by construction and compile fine (512x224 measured ok).
+_PALLAS_VARREF_MAX_WIDTH = 128
 
 
 def use_pallas_varref(cfg, h: int, w: int) -> bool:
@@ -45,6 +52,7 @@ def use_pallas_varref(cfg, h: int, w: int) -> bool:
         return True
     if cfg.varref_backend == "auto":
         return (h * w <= _PALLAS_VARREF_MAX_PIXELS
+                and w <= _PALLAS_VARREF_MAX_WIDTH
                 and _jax.default_backend() == "tpu")
     return False
 

@@ -114,3 +114,7 @@ def test_varref_backend_resolver():
     assert big == ("tiled" if jax.default_backend() == "tpu" else "xla")
     small = varref_backend_for(cfg, 68, 120, level=0)
     assert small == ("fused" if jax.default_backend() == "tpu" else "xla")
+    # wide-but-small fields (op-3 scale 2: 256x112) must NOT take the
+    # single-block kernel: its Mosaic compile hangs past ~128 lanes
+    wide = varref_backend_for(cfg, 112, 256, level=2)
+    assert wide == ("tiled" if jax.default_backend() == "tpu" else "xla")

@@ -46,7 +46,11 @@ def main():
 
     @jax.jit
     def chained(x):
-        pyr0 = pyramid(x)
+        # bias=0 for the priming build too: keeps both pallas pool calls
+        # structurally identical so XLA's buffer assignment parks the
+        # frame in the same memory space for both (a mismatch inserts a
+        # per-iteration 100 MB space-transfer copy before the in-loop one)
+        pyr0 = pyramid(x, bias=jnp.float32(0.0))
         init0 = jnp.zeros((init_h, init_w, 2), jnp.float32)
 
         def body(i, carry):
