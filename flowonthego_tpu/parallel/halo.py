@@ -88,3 +88,69 @@ def exchange_accumulate_rows(x: jax.Array, halo: int, axis_name: str) -> jax.Arr
     interior = interior.at[:halo].add(from_prev)
     interior = interior.at[-halo:].add(from_next)
     return interior
+
+
+def exchange_cols(x: jax.Array, halo: int, axis_name: str,
+                  mode: str = "edge") -> jax.Array:
+    """Column analogue of :func:`exchange_rows`: the image is split along
+    axis 1 across ``axis_name``; returns x extended with ``halo`` columns
+    from each lateral neighbor: [..., w + 2*halo, ...].
+
+    Applied after :func:`exchange_rows` on a row-extended array this also
+    fills the corner blocks correctly: the lateral neighbor's shipped
+    columns already carry *its* row halo, which came from our diagonal
+    neighbor (the standard sequential-exchange corner trick) — one 2D
+    halo costs two ppermutes, not eight.
+    """
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+
+    if n == 1:
+        if mode == "edge":
+            left = jnp.repeat(x[:, :1], halo, axis=1)
+            right = jnp.repeat(x[:, -1:], halo, axis=1)
+        else:
+            left = jnp.zeros(x.shape[:1] + (halo,) + x.shape[2:], x.dtype)
+            right = jnp.zeros(x.shape[:1] + (halo,) + x.shape[2:], x.dtype)
+        return jnp.concatenate([left, x, right], axis=1)
+
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    from_prev = lax.ppermute(x[:, -halo:], axis_name, fwd)
+    from_next = lax.ppermute(x[:, :halo], axis_name, bwd)
+
+    if mode == "edge":
+        edge_l = jnp.repeat(x[:, :1], halo, axis=1)
+        edge_r = jnp.repeat(x[:, -1:], halo, axis=1)
+    else:
+        edge_l = jnp.zeros_like(from_prev)
+        edge_r = jnp.zeros_like(from_next)
+
+    left = jnp.where(idx == 0, edge_l, from_prev)
+    right = jnp.where(idx == n - 1, edge_r, from_next)
+    return jnp.concatenate([left, x, right], axis=1)
+
+
+def exchange_accumulate_cols(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
+    """Column analogue of :func:`exchange_accumulate_rows`: fold the
+    ``halo`` overflow columns on each side into the lateral neighbors'
+    interiors; returns the [..., w_local, ...] interior."""
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    left_margin = x[:, :halo]
+    right_margin = x[:, -halo:]
+    interior = x[:, halo:-halo]
+
+    if n == 1:
+        return interior
+
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    from_prev = lax.ppermute(right_margin, axis_name, fwd)
+    from_next = lax.ppermute(left_margin, axis_name, bwd)
+    from_prev = jnp.where(idx == 0, jnp.zeros_like(from_prev), from_prev)
+    from_next = jnp.where(idx == n - 1, jnp.zeros_like(from_next), from_next)
+
+    interior = interior.at[:, :halo].add(from_prev)
+    interior = interior.at[:, -halo:].add(from_next)
+    return interior

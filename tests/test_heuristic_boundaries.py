@@ -49,10 +49,15 @@ def test_varref_flip_point(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     cfg = DISConfig(varref_backend="auto")
     lim = var_mod._PALLAS_VARREF_MAX_PIXELS
-    assert var_mod.use_pallas_varref(cfg, 1, lim)
-    assert not var_mod.use_pallas_varref(cfg, 1, lim + 1)
+    wcap = var_mod._PALLAS_VARREF_MAX_WIDTH
+    # pixel-count flip at the widest single-block-compilable width
+    assert var_mod.use_pallas_varref(cfg, lim // wcap, wcap)
+    assert not var_mod.use_pallas_varref(cfg, lim // wcap + 1, wcap)
+    # width flip (Mosaic single-block compile hang guard)
+    assert var_mod.use_pallas_varref(cfg, 1, wcap)
+    assert not var_mod.use_pallas_varref(cfg, 1, wcap + 1)
     forced = DISConfig(varref_backend="pallas")
-    assert var_mod.use_pallas_varref(forced, 1, lim + 1) is True
+    assert var_mod.use_pallas_varref(forced, lim // wcap + 1, wcap + 1) is True
 
 
 def test_gn_pallas_flip_point(monkeypatch):

@@ -1,0 +1,18 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np, jax, jax.numpy as jnp, dataclasses
+from flowonthego_tpu.config import operating_point, pad_to_divisible
+from flowonthego_tpu.io.images import load_image
+from flowonthego_tpu.models.dis_flow import compute_flow
+
+op, fs = int(sys.argv[1]), int(sys.argv[2])
+A = load_image("/root/reference/images/alley_1/frame_0001.png")
+B = load_image("/root/reference/images/alley_1/frame_0002.png")
+h, w = A.shape[:2]
+base = operating_point(op, width=w)
+cfg = dataclasses.replace(base, finest_scale=fs)
+pt, pb, pl, pr = pad_to_divisible(w, h, cfg.coarsest_scale)
+An = jnp.asarray(np.pad(A, ((pt, pb), (pl, pr), (0,0)), mode="edge"))
+Bn = jnp.asarray(np.pad(B, ((pt, pb), (pl, pr), (0,0)), mode="edge"))
+out = compute_flow(An, Bn, cfg)
+print("op", op, "fs", fs, "OK", float(jnp.mean(jnp.abs(out))))
