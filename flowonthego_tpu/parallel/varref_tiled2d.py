@@ -40,7 +40,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import DISConfig
-from ..ops.variational import Derivatives, data_term
+from ..ops.variational import EPS_SMOOTH, Derivatives, data_term
 from .halo import exchange_cols, exchange_rows
 
 ROW_AXIS = "rows"
@@ -163,7 +163,6 @@ def variational_refine_tile(flow, im1, im2, cfg: DISConfig, level: int,
 
         ux, uy = band_derivs(uuh)
         vx, vy = band_derivs(vvh)
-        from ..ops.variational import EPS_SMOOTH
         s_band = qa / jnp.sqrt(ux * ux + uy * uy + vx * vx + vy * vy
                                + EPS_SMOOTH)
         s = s_band[1:-1, 1:-1]
@@ -253,6 +252,21 @@ def make_tiled_varref(mesh: Mesh, cfg: DISConfig, level: int,
         raise ValueError(f"{H}x{W} field not divisible by the "
                          f"{n_r}x{n_c} tile mesh")
     hl, wl = H // n_r, W // n_c
+    # The halo exchanges are single-hop ppermutes: a halo wider than one
+    # tile would need multi-hop forwarding and instead fails deep inside
+    # shard_map tracing with an opaque broadcast-shape error; the stencil
+    # halos additionally need 2 rows/cols of slack.  Fail fast with the
+    # actual trade-off spelled out.
+    if min(hl, wl) < 2:
+        raise ValueError(
+            f"tile {hl}x{wl} too small for the 2-px stencil halos; use a "
+            f"coarser mesh than {n_r}x{n_c} for a {H}x{W} field")
+    if warp_halo > min(hl, wl):
+        raise ValueError(
+            f"warp_halo={warp_halo} exceeds the {hl}x{wl} tile — the "
+            f"single-hop halo exchange cannot reach past one neighbor. "
+            f"Lower the displacement bound or use fewer tiles "
+            f"(mesh {n_r}x{n_c}, field {H}x{W})")
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(ROW_AXIS, COL_AXIS, None),) * 3,
