@@ -34,14 +34,18 @@ from ..config import DISConfig
 from .interp import blend_windows, gather_windows, sample_patches_bilinear
 from .patches import PatchGrid
 
-# VMEM budget for the fused Pallas Gauss-Newton loop: operands
-# (envelope stack + weight stack + consts) plus the kernel's largest
-# intermediates must fit comfortably in the ~16 MB of VMEM.
+# Per-TILE VMEM budget for the fused Pallas Gauss-Newton loop: one lane
+# tile's operands (envelope stack + weight stack + consts) plus the
+# kernel's largest intermediates must fit comfortably in ~16 MB of VMEM.
 _GN_PALLAS_VMEM_LIMIT = 10 << 20
 
 # HBM budget for the per-patch envelope stack [P, E, E, C]; above this the
 # optimizer samples each iteration with whole-image gathers instead.
-_ENVELOPE_BYTES_LIMIT = 64 << 20
+# Sized to cover operating point 4's full-resolution scale at 1024x448
+# (~450 MB, transient) — the build/consume traffic is ~1 ms of HBM
+# bandwidth, noise next to the compile pathologies the envelope+Pallas
+# path avoids (see sample_patches_bilinear_matmul).
+_ENVELOPE_BYTES_LIMIT = 512 << 20
 
 
 def envelope_fits(P: int, E: int, C: int) -> bool:
@@ -49,29 +53,53 @@ def envelope_fits(P: int, E: int, C: int) -> bool:
     return P * E * E * C * 4 <= _ENVELOPE_BYTES_LIMIT
 
 
-def use_pallas_gn(cfg: DISConfig, n_patches: int, E: int, C: int,
-                  ps: int) -> bool:
-    """Resolve cfg.gn_backend for one scale's fused solve.
+def gn_tile_lanes(cfg: DISConfig, n_patches: int, E: int, C: int,
+                  ps: int) -> int:
+    """Lane-tile width for the fused Pallas GN solve, or 0 for XLA.
 
-    "auto" picks the fused Pallas kernel (ops/pallas/dis_gn — the whole
-    per-scale solve in one launch, the analogue of the reference's
-    persistent kernel optimize.cu:97-243) on TPU when the per-scale
-    operands fit VMEM; "pallas" forces it (interpret mode off-TPU).
+    The patch axis is embarrassingly parallel (the reference runs one
+    CUDA block per patch, optimize.cu:255-256), so a scale whose whole
+    patch batch exceeds VMEM runs the SAME kernel over a 1-D grid of
+    lane tiles.  Returns the largest power-of-two tile (128..2048 lanes)
+    whose footprint fits the per-tile budget; `pallas` forces the
+    single-block form (interpret mode off-TPU, used by equivalence
+    tests).
     """
+    Pp = max(128, -(-n_patches // 128) * 128)
     if cfg.gn_backend == "pallas":
-        return True
-    if cfg.gn_backend != "auto":
-        return False
-    Pp = -(-n_patches // 128) * 128
+        return Pp
+    if cfg.gn_backend != "auto" or jax.default_backend() != "tpu":
+        return 0
     K = ps + 1
     # bf16 sampling stores env/weights/windows at half width (upcast on
     # read inside the kernel); scalar state and scratch stay fp32.
     item = 2 if cfg.dtype == "bfloat16" else 4
+    # Single block when the whole batch fits (the round-1..3 criterion —
+    # device-proven at the published op-2 operating points): no grid, no
+    # block pipelining overhead.
     operands = item * Pp * (E * E * C + 3 * ps * ps * C + K * K * C) \
         + 4 * Pp * 15
     scratch = 4 * Pp * (K * E * C + K * K * C + 3 * ps * ps * C)
-    return (jax.default_backend() == "tpu"
-            and operands + scratch <= _GN_PALLAS_VMEM_LIMIT)
+    if operands + scratch <= _GN_PALLAS_VMEM_LIMIT:
+        return Pp
+    # Gridded: Mosaic double-buffers each block's operand/output copies
+    # (overlapping the grid step's DMA with compute), so the per-lane
+    # footprint doubles for operands and outputs; measured headroom for
+    # the remaining temporaries is the same scratch term.
+    per_lane = (2 * item * (E * E * C + 3 * ps * ps * C + K * K * C)
+                + 2 * 4 * (ps * ps * C + 2) + 4 * 15
+                + 4 * (K * E * C + K * K * C + 3 * ps * ps * C))
+    for tile in (1024, 512, 256, 128):
+        if tile <= Pp and tile * per_lane <= _GN_PALLAS_VMEM_LIMIT:
+            return tile
+    return 0
+
+
+def use_pallas_gn(cfg: DISConfig, n_patches: int, E: int, C: int,
+                  ps: int) -> bool:
+    """Resolve cfg.gn_backend for one scale's fused solve (see
+    :func:`gn_tile_lanes`)."""
+    return gn_tile_lanes(cfg, n_patches, E, C, ps) > 0
 
 
 def _run_gn_pallas(state: "PatchState", env4, env_sy, env_sx, win1, gx_sum,
@@ -88,7 +116,8 @@ def _run_gn_pallas(state: "PatchState", env4, env_sy, env_sx, win1, gx_sum,
     ps = grid.patch_size
     n_h, n_w = started.shape
     P = n_h * n_w
-    Pp = -(-P // 128) * 128
+    tile = gn_tile_lanes(cfg, P, E, C, ps) or 128
+    Pp = -(-P // tile) * tile
     f32 = jnp.float32
     # Sampling operands keep the envelope's dtype (bf16 under
     # cfg.dtype="bfloat16" — half the VMEM footprint, upcast in-kernel);
@@ -131,7 +160,7 @@ def _run_gn_pallas(state: "PatchState", env4, env_sy, env_sx, win1, gx_sum,
         E=E, K=K, C=C, ps=ps, padding=grid.padding,
         thresh=cfg.outlier_thresh, l_bound=grid.l_bound,
         ub_w=grid.u_bound_w, ub_h=grid.u_bound_h, mean_on=mean_on,
-        n_vals=float(ps * ps * C),
+        n_vals=float(ps * ps * C), tile_lanes=tile,
         interpret=jax.default_backend() != "tpu")
     dtype = state.templates.dtype
     p_cur = jnp.stack([p_out[0, :P].reshape(n_h, n_w),

@@ -177,7 +177,7 @@ def gn_scale_loop(env_t: jax.Array, w3_t: jax.Array, win1_t: jax.Array,
                   consts: jax.Array, started: jax.Array, *, n_iters: int,
                   E: int, K: int, C: int, ps: int, padding: int,
                   thresh: float, l_bound: float, ub_w: float, ub_h: float,
-                  mean_on: float, n_vals: float,
+                  mean_on: float, n_vals: float, tile_lanes: int = 0,
                   interpret: bool = False):
     """Run one scale's full Gauss-Newton solve in one kernel.
 
@@ -187,6 +187,12 @@ def gn_scale_loop(env_t: jax.Array, w3_t: jax.Array, win1_t: jax.Array,
     consts: [14, Pp] per-patch constants (see kernel)
     started: [1, Pp] 1.0 where the patch was not frozen at warm start
     n_iters: envelope iterations to run (= grad_descent_iter - 1)
+    tile_lanes: if > 0, run a 1-D grid over patch tiles of this many
+      lanes (Pp % tile_lanes == 0) so scales whose whole-batch operands
+      exceed VMEM (operating points 3/4: ps=12 grids, up to full-res at
+      op 4) still use this kernel — the patch axis is embarrassingly
+      parallel, so tiling it is exactly the reference's
+      one-block-per-patch grid (optimize.cu:255-256) at a coarser grain.
     Returns (p [2, Pp] final flow, cost_px [ps, ps*C, Pp] final per-pixel
     squared residual, densification-ready).
     """
@@ -195,10 +201,34 @@ def gn_scale_loop(env_t: jax.Array, w3_t: jax.Array, win1_t: jax.Array,
         thresh=thresh, l_bound=l_bound, ub_w=ub_w, ub_h=ub_h,
         mean_on=mean_on, n_vals=n_vals)
     Pp = env_t.shape[-1]
+    out_shape = (jax.ShapeDtypeStruct((2, Pp), jnp.float32),
+                 jax.ShapeDtypeStruct((ps, ps * C, Pp), jnp.float32))
+    if tile_lanes and tile_lanes < Pp:
+        assert Pp % tile_lanes == 0, (Pp, tile_lanes)
+        Pt = tile_lanes
+
+        def lane_spec(shape):
+            # Block = full leading dims, one lane tile; grid steps lanes.
+            nd = len(shape)
+            return pl.BlockSpec(shape[:-1] + (Pt,),
+                                lambda i, nd=nd: (0,) * (nd - 1) + (i,))
+
+        return pl.pallas_call(
+            kern,
+            grid=(Pp // Pt,),
+            out_shape=out_shape,
+            in_specs=[lane_spec((E, E * C, Pp)),
+                      lane_spec((3, ps, ps * C, Pp)),
+                      lane_spec((K, K * C, Pp)),
+                      lane_spec((14, Pp)),
+                      lane_spec((1, Pp))],
+            out_specs=(lane_spec((2, Pp)),
+                       lane_spec((ps, ps * C, Pp))),
+            interpret=interpret,
+        )(env_t, w3_t, win1_t, consts, started)
     return pl.pallas_call(
         kern,
-        out_shape=(jax.ShapeDtypeStruct((2, Pp), jnp.float32),
-                   jax.ShapeDtypeStruct((ps, ps * C, Pp), jnp.float32)),
+        out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),

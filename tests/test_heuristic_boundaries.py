@@ -60,24 +60,33 @@ def test_varref_flip_point(monkeypatch):
     assert var_mod.use_pallas_varref(forced, lim // wcap + 1, wcap + 1) is True
 
 
-def test_gn_pallas_flip_point(monkeypatch):
+def test_gn_pallas_tile_selection(monkeypatch):
+    """The fused GN kernel is taken regardless of patch count (the grid
+    tiles the lane axis); the TILE shrinks as per-lane footprint grows."""
     cfg = DISConfig(gn_backend="auto")
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    ps, C, E = 8, 3, 19
-    K = ps + 1
 
-    def bytes_for(P):
-        Pp = -(-P // 128) * 128
-        operands = Pp * (E * E * C + 3 * ps * ps * C + K * K * C + 15)
-        scratch = Pp * (K * E * C + K * K * C + 3 * ps * ps * C)
-        return 4 * (operands + scratch)
+    def per_lane(ps, E, C=3):
+        # the gridded path's conservative (double-buffered) footprint
+        K = ps + 1
+        return (2 * 4 * (E * E * C + 3 * ps * ps * C + K * K * C)
+                + 8 * (ps * ps * C + 2) + 60
+                + 4 * (K * E * C + K * K * C + 3 * ps * ps * C))
 
-    # find the last 128-block under the limit
-    P = 128
-    while bytes_for(P + 128) <= dis_mod._GN_PALLAS_VMEM_LIMIT:
-        P += 128
-    assert dis_mod.use_pallas_gn(cfg, P, E, C, ps)
-    assert not dis_mod.use_pallas_gn(cfg, P + 128, E, C, ps)
+    # a small op-2-sized batch keeps the device-proven single-block form
+    assert dis_mod.gn_tile_lanes(cfg, 448, 19, 3, 8) == 512
+    # large batches grid with a tile that honors the double-buffer budget
+    for ps, E in ((8, 19), (12, 27)):
+        t = dis_mod.gn_tile_lanes(cfg, 50_000, E, 3, ps)
+        assert 128 <= t < 50_000
+        assert t * per_lane(ps, E) <= dis_mod._GN_PALLAS_VMEM_LIMIT
+        assert (t == 1024
+                or 2 * t * per_lane(ps, E) > dis_mod._GN_PALLAS_VMEM_LIMIT)
+        assert dis_mod.use_pallas_gn(cfg, 10 ** 6, E, 3, ps)
+    # bf16 sampling halves the operand footprint -> never a smaller tile
+    bf = DISConfig(gn_backend="auto", dtype="bfloat16")
+    assert dis_mod.gn_tile_lanes(bf, 1000, 19, 3, 8) >= \
+        dis_mod.gn_tile_lanes(cfg, 1000, 19, 3, 8)
 
 
 def test_pool_gate_flip_point():
