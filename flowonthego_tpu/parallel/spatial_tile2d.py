@@ -1,0 +1,388 @@
+"""2-D (rows x cols) tile-sharded DIS — the full pipeline on a tile mesh.
+
+Round 3 built the variational-refinement half of SURVEY.md §2.4's
+"spatial/model axis over image tiles for 4K" (parallel/varref_tiled2d.py)
+but left the DIS core row-sharded only.  This module extends EVERY
+fine-scale stage to a (rows, cols) tile mesh, completing the >8-chip
+single-frame latency story — at 16-64 chips row strips of a 4K frame
+become too shallow for their own halos, while 2-D tiles keep the halo
+perimeter small relative to the tile:
+
+  * template extraction: 2-D edge halo of cfg.padding (ps) rows AND
+    columns (two ppermutes — corners ride the lateral neighbor's row
+    halo, halo.exchange_cols);
+  * target sampling: I1 tile halo'd by the displacement bound + var-ref
+    slack on BOTH axes; midpoints map into tile coordinates through the
+    optimizer's ``sample_offset`` (now with a nonzero column component);
+  * densification: parity-group overlap-add into a margin'd tile canvas,
+    folded into the four neighbors with a row fold THEN a column fold —
+    corner spill rides the lateral neighbor's folded rows, the exact
+    scatter-inverse of the two-hop halo trick;
+  * variational refinement: varref_tiled2d.variational_refine_tile
+    (2-D per-sweep SOR halos);
+  * coarse scales (tiles too small for their halos) fall back to the
+    replicated path behind a two-axis all_gather, matching spatial_fine's
+    replicate-coarse / shard-fine design.
+
+The reference analogue of the tile grid is the whole-frame kernel grid
+(/root/reference/src/kernels/optimize.cu:249-267): CUDA launches one
+block per patch over the full frame; here the frame itself is the
+distributed object and the patch grid partitions over tiles.
+
+Bit-compatibility: every stage reproduces the unsharded math (the only
+fp-order differences are gather association ulps); asserted against the
+unsharded pipeline on the fake 8-device CPU mesh in
+tests/test_spatial_tile2d.py for 2x4, 4x2 meshes and by dryrun_multichip.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import DISConfig
+from ..ops import densify as densify_mod
+from ..ops import dis as dis_mod
+from ..ops import variational as var_mod
+from ..ops.patches import PatchGrid, extract_templates_and_hessians
+from ..ops.pyramid import central_diff, downsample_half, pad_constant, \
+    pad_replicate
+from ..ops.resize import resize_matmul
+from .halo import (exchange_accumulate_cols, exchange_accumulate_rows,
+                   exchange_cols, exchange_rows)
+from .spatial_fine import _halo_slack, displacement_bound
+from .varref_tiled2d import COL_AXIS, ROW_AXIS, make_tile_mesh, \
+    variational_refine_tile
+
+__all__ = ["make_tile_mesh", "make_tile2d_flow", "tiled2d_scale_levels"]
+
+
+def _axis_layout(steps: int, offset: int, n_patches: int, extent: int,
+                 n_shards: int):
+    """Per-shard patch layout along one axis: uniform local slot count +
+    per-shard start index (static numpy).  Slot k of shard i is global
+    patch index (start[i] + k); slots past the range are masked invalid.
+    Mirrors spatial_fine._strip_grid for either axis."""
+    starts, counts = [], []
+    for i in range(n_shards):
+        lo, hi = i * extent, (i + 1) * extent
+        j0 = max(0, math.ceil((lo - offset) / steps))
+        j1 = min(n_patches, math.ceil((hi - offset) / steps))
+        starts.append(j0)
+        counts.append(max(0, j1 - j0))
+    return (np.asarray(starts, np.int32), np.asarray(counts, np.int32),
+            max(counts))
+
+
+def tiled2d_scale_levels(cfg: DISConfig, H: int, W: int, n_r: int,
+                         n_c: int):
+    """Scales whose tile covers every halo on BOTH axes (sampling halo
+    incl. var-ref slack, densification fold margin, var-ref warp halo);
+    coarser scales run replicated."""
+    ps, st = cfg.patch_size, cfg.steps
+    r = -(-ps // st)
+    densify_margin = ps + r * st
+    out = []
+    for sl in range(cfg.finest_scale, cfg.coarsest_scale + 1):
+        hl = (H // n_r) >> sl
+        wl = (W // n_c) >> sl
+        halo = (int(math.ceil(displacement_bound(cfg, sl))) + cfg.padding
+                + _halo_slack(cfg))
+        warp_halo = (int(math.ceil(displacement_bound(cfg, sl))) + 2
+                     + _halo_slack(cfg))
+        need = max(halo, densify_margin, warp_halo)
+        if (min(hl, wl) >= need and (H // n_r) % (1 << sl) == 0
+                and (W // n_c) % (1 << sl) == 0):
+            out.append(sl)
+    return out
+
+
+def _extract_tile(img_halo, gx_halo, gy_halo, grid: PatchGrid, cfg,
+                  row0_local, col0_local, n_loc_r: int, n_loc_c: int):
+    """Templates/grads/Hessian for the n_loc_r x n_loc_c local patch
+    slots.  ``*_halo``: [hl + 2*pad, wl + 2*pad, C] tiles with a 2-D halo
+    of pad = cfg.padding.  row0/col0_local (traced): tile-local
+    (unpadded) image coordinates of the first local patch midpoint."""
+    ps, st = grid.patch_size, grid.steps
+    C = img_halo.shape[2]
+    pad = cfg.padding
+    rows = (n_loc_r - 1) * st + ps
+    cols = (n_loc_c - 1) * st + ps
+    top = row0_local + pad - ps // 2
+    left = col0_local + pad - ps // 2
+
+    def windows(x):
+        r = lax.dynamic_slice(x, (top, left, 0), (rows, cols, C))
+        shifted = [r[a:a + (n_loc_r - 1) * st + 1:st,
+                     b:b + (n_loc_c - 1) * st + 1:st, :]
+                   for a in range(ps) for b in range(ps)]
+        return jnp.stack(shifted, axis=2).reshape(
+            n_loc_r, n_loc_c, ps, ps, C)
+
+    templates = windows(img_halo)
+    gx = windows(gx_halo)
+    gy = windows(gy_halo)
+    if cfg.use_mean_normalization:
+        templates = templates - templates.mean(axis=(2, 3, 4), keepdims=True)
+    h00 = (gx * gx).sum(axis=(2, 3, 4))
+    h01 = (gx * gy).sum(axis=(2, 3, 4))
+    h11 = (gy * gy).sum(axis=(2, 3, 4))
+    det = h00 * h11 - h01 * h01
+    bump = jnp.where(det == 0.0, 1e-10, 0.0).astype(h00.dtype)
+    H = jnp.stack([h00 + bump, h01, h11 + bump], axis=-1)
+    return templates, gx, gy, H
+
+
+def _densify_tile(state: dis_mod.PatchState, grid: PatchGrid, cfg,
+                  hl: int, wl: int, base_row, base_col, valid) -> jax.Array:
+    """2-D overlap-add densification into the [hl, wl, 2] tile; margin
+    spill folded into all four neighbors (rows first, then columns — the
+    column fold's margins already carry the folded corner rows, the
+    scatter-inverse of the exchange_rows-then-cols halo trick)."""
+    ps, st = grid.patch_size, grid.steps
+    n_loc_r, n_loc_c = state.converged.shape
+    r = -(-ps // st)
+    R = r * st
+    margin = ps + R
+
+    absw = densify_mod._pixel_weights(state, cfg)
+    absw = jnp.where(valid[..., None, None], absw, 0.0)
+    u = state.p_cur[..., 0][..., None, None]
+    v = state.p_cur[..., 1][..., None, None]
+    contrib = jnp.stack([absw, absw * u, absw * v], axis=-1)
+
+    over_r = (max(-(-n_loc_r // r), 1)) * R + R
+    over_c = (max(-(-n_loc_c // r), 1)) * R + R
+    acc = jnp.zeros((hl + 2 * margin + over_r, wl + 2 * margin + over_c, 3),
+                    contrib.dtype)
+    for a in range(r):
+        for b in range(r):
+            blocks = contrib[a::r, b::r]
+            g_h, g_w = blocks.shape[0], blocks.shape[1]
+            if g_h == 0 or g_w == 0:
+                continue
+            blocks = jnp.pad(blocks, ((0, 0), (0, 0), (0, R - ps),
+                                      (0, R - ps), (0, 0)))
+            canvas = blocks.transpose(0, 2, 1, 3, 4).reshape(
+                g_h * R, g_w * R, 3)
+            top = base_row + a * st - ps // 2 + margin
+            left = base_col + b * st - ps // 2 + margin
+            placed = lax.dynamic_update_slice(
+                jnp.zeros_like(acc), canvas, (top, left, 0))
+            acc = acc + placed
+    acc = acc[:hl + 2 * margin, :wl + 2 * margin]
+    acc = exchange_accumulate_rows(acc, margin, ROW_AXIS)
+    acc = exchange_accumulate_cols(acc, margin, COL_AXIS)
+    weight = acc[..., 0:1]
+    return jnp.where(weight > 0, acc[..., 1:3] / weight, 0.0)
+
+
+def make_tile2d_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int,
+                     with_diagnostics: bool = False):
+    """Jitted 2-D tile-sharded flow for padded [H, W, C] frames.
+
+    Input/output sharded P(rows, cols, None) over ``mesh``.  Fine scales
+    whose tiles cover their halos run fully tiled (extraction, warm
+    start, optimization, densification fold, tiled var-ref); coarser
+    scales replicate behind a two-axis all_gather.  Forward-backward
+    consistency is not supported on the tile mesh (use the row-strip
+    path, spatial_fine.py).
+
+    ``with_diagnostics=True`` additionally returns the replicated count
+    of patches whose sampling would have reached beyond the provisioned
+    2-D halo (zero => the tiled result is exact up to fp association).
+    """
+    if cfg.use_fb_consistency:
+        raise NotImplementedError(
+            "fb-consistency runs on the row-strip path (spatial_fine)")
+    n_r = mesh.shape[ROW_AXIS]
+    n_c = mesh.shape[COL_AXIS]
+    div = 2 ** cfg.coarsest_scale
+    if H % (n_r * div) or W % (n_c * div):
+        raise ValueError(f"{H}x{W} must divide over the {n_r}x{n_c} tile "
+                         f"mesh with 2^{cfg.coarsest_scale} divisibility")
+    hl0, wl0 = H // n_r, W // n_c
+    tiled_levels = set(tiled2d_scale_levels(cfg, H, W, n_r, n_c))
+    pad = cfg.padding
+
+    def worker(i0_tile, i1_tile):
+        idx_r = lax.axis_index(ROW_AXIS)
+        idx_c = lax.axis_index(COL_AXIS)
+        halo_viol = jnp.int32(0)
+
+        tiles = {0: (i0_tile, i1_tile)}
+        a, b = i0_tile, i1_tile
+        for sl in range(1, cfg.coarsest_scale + 1):
+            a = downsample_half(a)
+            b = downsample_half(b)
+            tiles[sl] = (a, b)
+
+        def gather_full(x):
+            x = lax.all_gather(x, COL_AXIS, axis=1, tiled=True)
+            return lax.all_gather(x, ROW_AXIS, axis=0, tiled=True)
+
+        def halo2d(tile, halo, mode="edge"):
+            x = exchange_rows(tile, halo, ROW_AXIS, mode=mode)
+            return exchange_cols(x, halo, COL_AXIS, mode=mode)
+
+        flow_tile = None
+        for sl in range(cfg.coarsest_scale, cfg.finest_scale - 1, -1):
+            w_sl, h_sl = W >> sl, H >> sl
+            hl_sl, wl_sl = hl0 >> sl, wl0 >> sl
+            grid = PatchGrid.create(cfg, w_sl, h_sl)
+            s0, s1 = tiles[sl]
+
+            if sl not in tiled_levels:
+                # --- replicated fallback: gather, compute, re-slice ---
+                a_full = gather_full(s0)
+                b_full = gather_full(s1)
+                warm = None if flow_tile is None else gather_full(flow_tile)
+                gx0, gy0 = central_diff(a_full)
+                tmpl, gx, gy, Hs = extract_templates_and_hessians(
+                    pad_replicate(a_full, pad), pad_constant(gx0, pad),
+                    pad_constant(gy0, pad), grid, cfg)
+                st = dis_mod.init_state(tmpl, gx, gy, Hs, grid)
+                if warm is not None:
+                    st = dis_mod.init_from_coarser(st, warm, grid)
+                st = dis_mod.optimize(st, pad_replicate(b_full, pad),
+                                      grid, cfg)
+                flow_full = densify_mod.densify(st, grid, cfg)
+                if cfg.use_var_ref:
+                    flow_full = var_mod.variational_refine_auto(
+                        flow_full, a_full, b_full, cfg, sl)
+                flow_tile = lax.dynamic_slice(
+                    flow_full, (idx_r * hl_sl, idx_c * wl_sl, 0),
+                    (hl_sl, wl_sl, 2))
+                continue
+
+            # --- 2-D tiled scale ---
+            st_px = grid.steps
+            starts_r, counts_r, n_loc_r = _axis_layout(
+                st_px, grid.offset_h, grid.n_h, hl_sl, n_r)
+            starts_c, counts_c, n_loc_c = _axis_layout(
+                st_px, grid.offset_w, grid.n_w, wl_sl, n_c)
+            start_r = jnp.asarray(starts_r)[idx_r]
+            start_c = jnp.asarray(starts_c)[idx_c]
+            valid = ((jnp.arange(n_loc_r) < jnp.asarray(counts_r)[idx_r])
+                     [:, None]
+                     & (jnp.arange(n_loc_c) < jnp.asarray(counts_c)[idx_c])
+                     [None, :])
+            jr = start_r + jnp.arange(n_loc_r)
+            jc = start_c + jnp.arange(n_loc_c)
+            my = (grid.offset_h + jr * st_px).astype(jnp.float32)
+            mx = (grid.offset_w + jc * st_px).astype(jnp.float32)
+            mid_org = jnp.stack(
+                [jnp.broadcast_to(mx[None, :], (n_loc_r, n_loc_c)),
+                 jnp.broadcast_to(my[:, None], (n_loc_r, n_loc_c))],
+                axis=-1)
+            row0_local = grid.offset_h + start_r * st_px - idx_r * hl_sl
+            col0_local = grid.offset_w + start_c * st_px - idx_c * wl_sl
+
+            halo_t = (int(math.ceil(displacement_bound(cfg, sl))) + pad
+                      + _halo_slack(cfg))
+
+            def reach_violations(p, mask, mid_org=mid_org, grid=grid,
+                                 idx_r=idx_r, idx_c=idx_c, hl_sl=hl_sl,
+                                 wl_sl=wl_sl, halo_t=halo_t, valid=valid):
+                ps = grid.patch_size
+                rows = mid_org[..., 1] + p[..., 1]
+                colsx = mid_org[..., 0] + p[..., 0]
+                top = rows - ps // 2 - 1
+                bot = rows + ps // 2 + 1
+                lef = colsx - ps // 2 - 1
+                rig = colsx + ps // 2 + 1
+                lo_r = idx_r * hl_sl - (halo_t - pad)
+                hi_r = (idx_r + 1) * hl_sl + (halo_t - pad)
+                lo_c = idx_c * wl_sl - (halo_t - pad)
+                hi_c = (idx_c + 1) * wl_sl + (halo_t - pad)
+                bad = ((top < lo_r) | (bot > hi_r) | (lef < lo_c)
+                       | (rig > hi_c)) & mask & valid
+                return bad.sum(dtype=jnp.int32)
+
+            # extraction from the 2-D halo'd source tile; gradients on the
+            # same halo'd tile (halo rows/cols inside the image are real
+            # pixels, so central_diff there equals the unsharded gradient;
+            # at the global border the edge-replicate matches NPP
+            # replicate-border, pyramid.central_diff)
+            imgh = halo2d(s0, pad)
+            gxh, gyh = central_diff(imgh)
+            row_g = (lax.broadcasted_iota(jnp.int32, gxh.shape[:1], 0)
+                     - pad) + idx_r * hl_sl
+            col_g = (lax.broadcasted_iota(jnp.int32, gxh.shape[1:2], 0)
+                     - pad) + idx_c * wl_sl
+            ok = (((row_g >= 0) & (row_g < h_sl))[:, None, None]
+                  & ((col_g >= 0) & (col_g < w_sl))[None, :, None])
+            gxh = jnp.where(ok, gxh, 0.0)
+            gyh = jnp.where(ok, gyh, 0.0)
+            tmpl, gx, gy, Hs = _extract_tile(imgh, gxh, gyh, grid, cfg,
+                                             row0_local, col0_local,
+                                             n_loc_r, n_loc_c)
+            state = dis_mod.PatchState(
+                p_cur=jnp.zeros((n_loc_r, n_loc_c, 2), tmpl.dtype),
+                p_org=jnp.zeros((n_loc_r, n_loc_c, 2), tmpl.dtype),
+                mid_org=mid_org.astype(tmpl.dtype),
+                H=Hs, templates=tmpl, tgrad_x=gx, tgrad_y=gy,
+                converged=~valid,
+                cost_px=jnp.zeros_like(tmpl), diff=jnp.zeros_like(tmpl))
+
+            if flow_tile is not None:
+                iy = (my.astype(jnp.int32) // 2) - idx_r * (hl_sl // 2)
+                ix = (mx.astype(jnp.int32) // 2) - idx_c * (wl_sl // 2)
+                p = flow_tile[
+                    jnp.clip(iy, 0, flow_tile.shape[0] - 1)[:, None],
+                    jnp.clip(ix, 0, flow_tile.shape[1] - 1)[None, :],
+                    :] * 2.0
+                mid = state.mid_org + p
+                oob = ((mid[..., 0] < grid.l_bound)
+                       | (mid[..., 1] < grid.l_bound)
+                       | (mid[..., 0] > grid.u_bound_w)
+                       | (mid[..., 1] > grid.u_bound_h))
+                state = state._replace(p_cur=p, p_org=p,
+                                       converged=state.converged | oob)
+
+            imgth = halo2d(s1, halo_t)
+            row_off = ((halo_t - pad) - idx_r * hl_sl).astype(tmpl.dtype)
+            col_off = ((halo_t - pad) - idx_c * wl_sl).astype(tmpl.dtype)
+            sample_offset = jnp.stack([col_off, row_off])
+            halo_viol = halo_viol + reach_violations(state.p_cur,
+                                                    ~state.converged)
+            state = dis_mod.optimize(state, imgth, grid, cfg,
+                                     sample_offset=sample_offset)
+
+            flow_tile = _densify_tile(state, grid, cfg, hl_sl, wl_sl,
+                                      row0_local, col0_local, valid)
+
+            if cfg.use_var_ref:
+                warp_halo = (int(math.ceil(displacement_bound(cfg, sl)))
+                             + 2 + _halo_slack(cfg))
+                flow_tile = variational_refine_tile(
+                    flow_tile, s0, s1, cfg, sl, ROW_AXIS, COL_AXIS,
+                    idx_r, idx_c, hl_sl, wl_sl, h_sl, w_sl, warp_halo)
+
+        # --- upsample the finest tile to full resolution ---
+        fs = cfg.finest_scale
+        if fs == 0:
+            flow_out = flow_tile
+        else:
+            scale = float(2 ** fs)
+            flow_small = gather_full(flow_tile)
+            flow_out = lax.dynamic_slice(
+                resize_matmul(flow_small * scale, H, W),
+                (idx_r * hl0, idx_c * wl0, 0), (hl0, wl0, 2))
+        if with_diagnostics:
+            viol = lax.psum(lax.psum(halo_viol, ROW_AXIS), COL_AXIS)
+            return flow_out, viol
+        return flow_out
+
+    out_specs = ((P(ROW_AXIS, COL_AXIS, None), P()) if with_diagnostics
+                 else P(ROW_AXIS, COL_AXIS, None))
+    sharded = shard_map(worker, mesh=mesh,
+                        in_specs=(P(ROW_AXIS, COL_AXIS, None),) * 2,
+                        out_specs=out_specs, check_vma=False)
+    return jax.jit(sharded)
