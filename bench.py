@@ -156,39 +156,108 @@ def multi_stream_chain_timer(H, W, cfg, frame_flat, n_streams=4, n=32,
     return times[len(times) // 2] * 1e3
 
 
+def _make_step(H, W, cfg):
+    """Step over FLAT [H, W*3] frames.
+
+    Frames are stored packed (2D): XLA's default device layout for a
+    rank-3 [H, W, 3] jit argument lane-pads the minor dim (42x memory
+    bloat) the moment a non-fusible consumer materializes it; a real
+    streaming deployment keeps frames packed for the same reason.
+    The in-jit reshape to [H, W, 3] is a free bitcast.
+    """
+    from flowonthego_tpu.models.dis_flow import (dis_flow_padded,
+                                                 upsample_flow_to_full)
+
+    def step(I0f, I1f):
+        I0 = I0f.reshape(H, W, 3)
+        I1 = I1f.reshape(H, W, 3)
+        flow = dis_flow_padded(I0, I1, cfg)
+        return upsample_flow_to_full(flow, cfg, H, W)
+    return step
+
+
+def _sintel_padded(cfg):
+    import numpy as np
+    from flowonthego_tpu.config import pad_to_divisible
+    from flowonthego_tpu.io.images import load_image
+    A = load_image("/root/reference/images/alley_1/frame_0001.png")
+    B = load_image("/root/reference/images/alley_1/frame_0002.png")
+    h, w = A.shape[:2]
+    pt, pb, pl, pr = pad_to_divisible(w, h, cfg.coarsest_scale)
+    Ap = np.pad(A, ((pt, pb), (pl, pr), (0, 0)), mode="edge")
+    Bp = np.pad(B, ((pt, pb), (pl, pr), (0, 0)), mode="edge")
+    return Ap, Bp, (pt, pb, pl, pr), (h, w)
+
+
+def run_extra_task(name: str) -> float:
+    """Compute ONE extra metric (runs in a subprocess — a kernel fault or
+    a pathological compile then costs this metric alone, not the suite;
+    the round-3 op-3 failure wiped op4/1080p/multistream because the
+    faulted worker poisoned the shared client)."""
+    import jax.numpy as jnp
+    from flowonthego_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+    from flowonthego_tpu.config import operating_point, pad_to_divisible
+    from flowonthego_tpu.io.images import load_image
+
+    if name.startswith("op"):
+        cfg_op = operating_point(int(name[2:]), width=1024)
+        Ap, Bp, _, _ = _sintel_padded(cfg_op)
+        Hn, Wn = Ap.shape[:2]
+        return chain_timer(
+            _make_step(Hn, Wn, cfg_op),
+            (jnp.asarray(Ap.reshape(Hn, -1)), jnp.asarray(Bp.reshape(Hn, -1))),
+            n=32, trials=3)
+    if name == "1080p":
+        import numpy as np
+        R = load_image("/root/reference/images/road_HD.jpg")
+        hr, wr = R.shape[:2]
+        cfg_hd = operating_point(2, width=wr)
+        ptr, pbr, plr, prr = pad_to_divisible(wr, hr, cfg_hd.coarsest_scale)
+        Rp = np.pad(R, ((ptr, pbr), (plr, prr), (0, 0)), mode="edge")
+        Hr, Wr = Rp.shape[:2]
+        return stream_chain_timer(Hr, Wr, cfg_hd,
+                                  jnp.asarray(Rp.reshape(Hr, -1)),
+                                  n=32, trials=3)
+    if name == "4streams":
+        cfg1 = operating_point(2, width=1024)
+        Ap, _, _, _ = _sintel_padded(cfg1)
+        H1, W1 = Ap.shape[:2]
+        return multi_stream_chain_timer(H1, W1, cfg1,
+                                        jnp.asarray(Ap.reshape(H1, -1)),
+                                        n_streams=4, n=32, trials=3)
+    if name == "4k_u8":
+        # uint8 ingest (deployment video frames; the reference converts
+        # at load, run_dense.cpp:137-145): the first pool upcasts in-VMEM
+        # so the dominant full-res frame read moves 1/4 the bytes.
+        # Bit-exact vs float ingest (0..255 is exact in fp32) — EPE
+        # unchanged by construction.
+        import numpy as np
+        H4, W4 = 2176, 3840
+        cfg4 = operating_point(2, width=W4)
+        rng = np.random.default_rng(0)
+        frame = (rng.random((H4, W4, 3), np.float32) * 255.0).astype(
+            np.uint8)
+        return stream_chain_timer(H4, W4, cfg4,
+                                  jnp.asarray(frame.reshape(H4, -1)),
+                                  n=64, trials=3)
+    raise ValueError(name)
+
+
 def main():
     import os
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("FOT_CACHE_DIR", "/tmp/fot_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from flowonthego_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     from flowonthego_tpu.config import operating_point, pad_to_divisible
-    from flowonthego_tpu.models.dis_flow import (dis_flow_padded,
-                                                 upsample_flow_to_full)
     from flowonthego_tpu.io.images import load_image
     from flowonthego_tpu.io.flo import read_flo
     from flowonthego_tpu.utils.metrics import average_epe
 
-    def make_step(H, W, cfg):
-        """Step over FLAT [H, W*3] frames.
-
-        Frames are stored packed (2D): XLA's default device layout for a
-        rank-3 [H, W, 3] jit argument lane-pads the minor dim (42x memory
-        bloat) the moment a non-fusible consumer materializes it; a real
-        streaming deployment keeps frames packed for the same reason.
-        The in-jit reshape to [H, W, 3] is a free bitcast.
-        """
-        def step(I0f, I1f):
-            I0 = I0f.reshape(H, W, 3)
-            I1 = I1f.reshape(H, W, 3)
-            flow = dis_flow_padded(I0, I1, cfg)
-            return upsample_flow_to_full(flow, cfg, H, W)
-        return step
-
+    make_step = _make_step
     results = {}
     rng = np.random.default_rng(0)
 
@@ -226,73 +295,57 @@ def main():
     ref = read_flo("/root/reference/kroeger/flows/alley_0001.flo")
     results["epe_vs_ref_alley1"] = average_epe(flow, ref)
 
-    # ---- benchmark breadth: operating points 1/3/4 at 1024x448 ----
+    # ---- benchmark breadth extras, each in its OWN SUBPROCESS ----
     # (op 4: ps=12, 128 GD iterations; op 1: no var-ref, 16 iters — they
-    # exercise the fused-GN/var-ref gates differently than op 2)
-    # Soft budget: first-ever compiles over the tunnel cost minutes each;
-    # if the wall budget runs out, remaining extras emit -1 rather than
-    # risking the whole bench (the persistent compile cache makes later
-    # runs fast).  The headline metrics above always run.
-    # Extras are strictly best-effort: every headline value above is
-    # already a fetched Python float, so even a TPU worker fault inside an
-    # extra cannot lose the official line.  Each extra runs inside a soft
-    # wall-clock budget (first-ever compiles over the tunnel cost minutes;
-    # the persistent cache makes later runs fast) and any failure marks
-    # the remaining extras -1 (a faulted worker poisons the client).
+    # exercise the fused-GN/var-ref gates differently than op 2; 1080p is
+    # the reference's bundled road_HD frame; 4streams is the per-chip unit
+    # of the multi-chip streamed-video program, parallel/multistream.py.)
+    # Isolation: one faulted kernel or pathological compile costs ONE
+    # metric, never the rest (round 3 lost op4/1080p/multistream to the
+    # op-3 fault because a faulted worker poisons the shared client).
+    # Budget: first-ever compiles over the tunnel cost minutes; the
+    # persistent compile cache makes later runs fast.  A wedged TPU
+    # worker also blocks LATER extras' clients, so each subprocess gets a
+    # timeout and the overall deadline still applies.
+    import subprocess
     deadline = (time.monotonic()
-                + float(os.environ.get("FOT_BENCH_BUDGET_S", "900")))
-    extras_dead = []
+                + float(os.environ.get("FOT_BENCH_BUDGET_S", "1500")))
+    per_extra = float(os.environ.get("FOT_BENCH_EXTRA_TIMEOUT_S", "540"))
 
-    def run_extra(name, thunk):
-        if extras_dead or time.monotonic() >= deadline:
-            results[name] = -1.0
+    def run_extra(key, name):
+        budget = min(per_extra, deadline - time.monotonic())
+        if budget < 60:
+            results[key] = -1.0
+            print(f"# extra {name} skipped: bench budget exhausted",
+                  file=sys.stderr)
             return
         try:
-            results[name] = thunk()
-        except Exception as e:              # noqa: BLE001
-            results[name] = -1.0
-            extras_dead.append(f"{name}: {type(e).__name__}")
-            print(f"# extra {name} failed: {type(e).__name__}: "
-                  f"{str(e).splitlines()[0][:120]}", file=sys.stderr)
-
-    def op_extra(op):
-        cfg_op = operating_point(op, width=w)
-        ptn, pbn, pln, prn = pad_to_divisible(w, h, cfg_op.coarsest_scale)
-        An = np.pad(A, ((ptn, pbn), (pln, prn), (0, 0)), mode="edge")
-        Bn = np.pad(B, ((ptn, pbn), (pln, prn), (0, 0)), mode="edge")
-        Hn, Wn = An.shape[:2]
-        return chain_timer(
-            make_step(Hn, Wn, cfg_op),
-            (jnp.asarray(An.reshape(Hn, -1)), jnp.asarray(Bn.reshape(Hn, -1))),
-            n=32, trials=3)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--run-extra", name],
+                capture_output=True, text=True, timeout=budget)
+            line = next((ln for ln in proc.stdout.splitlines()
+                         if ln.startswith("EXTRA ")), None)
+            if proc.returncode == 0 and line is not None:
+                results[key] = float(line.split()[1])
+                return
+            tail = (proc.stderr or proc.stdout).strip().splitlines()[-1:]
+            print(f"# extra {name} failed: rc={proc.returncode} "
+                  f"{tail[0][:120] if tail else ''}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"# extra {name} timed out after {budget:.0f}s",
+                  file=sys.stderr)
+        results[key] = -1.0
 
     for op in (1, 3, 4):
-        run_extra(f"ms_1024x436_op{op}", lambda op=op: op_extra(op))
-
-    # ---- road_HD 1920x1080 (the reference's bundled HD frame), op 2 ----
-    def hd_extra():
-        R = load_image("/root/reference/images/road_HD.jpg")
-        hr, wr = R.shape[:2]
-        cfg_hd = operating_point(2, width=wr)
-        ptr, pbr, plr, prr = pad_to_divisible(wr, hr, cfg_hd.coarsest_scale)
-        Rp = np.pad(R, ((ptr, pbr), (plr, prr), (0, 0)), mode="edge")
-        Hr, Wr = Rp.shape[:2]
-        return stream_chain_timer(Hr, Wr, cfg_hd,
-                                  jnp.asarray(Rp.reshape(Hr, -1)),
-                                  n=32, trials=3)
-
-    run_extra("ms_1080p", hd_extra)
+        run_extra(f"ms_1024x436_op{op}", f"op{op}")
+    run_extra("ms_1080p", "1080p")
     results["fps_1080p"] = 1000.0 / results["ms_1080p"] if \
         results["ms_1080p"] > 0 else -1.0
-
-    # ---- multi-stream aggregate on one chip: 4 warm-started 1024x448
-    # streams batched together (the per-chip unit of the multi-chip
-    # streamed-video program, parallel/multistream.py) ----
-    run_extra("ms_1024x436_4streams",
-              lambda: multi_stream_chain_timer(H1, W1, cfg1, I0s,
-                                               n_streams=4, n=32, trials=3))
+    run_extra("ms_1024x436_4streams", "4streams")
     results["fps_1024x436_agg4"] = 4000.0 / results["ms_1024x436_4streams"] \
         if results["ms_1024x436_4streams"] > 0 else -1.0
+    run_extra("ms_4k_u8", "4k_u8")
 
     out = {
         "metric": "fps_4k_per_chip_op2",
@@ -312,9 +365,13 @@ def main():
         "fps_1080p": round(results["fps_1080p"], 3),
         "ms_1024x436_4streams_tick": round(results["ms_1024x436_4streams"], 3),
         "fps_1024x436_agg4": round(results["fps_1024x436_agg4"], 3),
+        "ms_4k_u8": round(results["ms_4k_u8"], 3),
     }
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
+    if len(sys.argv) == 3 and sys.argv[1] == "--run-extra":
+        print(f"EXTRA {run_extra_task(sys.argv[2])}")
+        sys.exit(0)
     sys.exit(main())

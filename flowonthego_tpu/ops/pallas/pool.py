@@ -131,6 +131,11 @@ def _pool_kernel(*refs, n_rows: int, n_cols: int, channels: int, ranges,
         x_ref, o_ref = refs
         b_ref = None
     x = x_ref[:]                    # [2*BR, BW] raw interleaved rows
+    if x.dtype != jnp.float32:
+        # uint8 ingest (run_dense.cpp:137-145 converts at load; real video
+        # arrives as uint8): the upcast rides the pool's own read, so the
+        # dominant full-res frame read costs 1/4 the HBM bytes.
+        x = x.astype(jnp.float32)
     if n_rows % (2 * _BR):
         # Blocks overrunning the image bottom read unspecified rows; a NaN
         # there would poison the left matmul through 0 * NaN, so zero them.
@@ -172,9 +177,15 @@ def pool2x2_flat(x: jax.Array, C: int, bias=None,
     ``bias``: optional traced scalar added to the input inside the kernel
     (bit-identical to pooling ``x + bias``) — lets a streaming caller
     fuse frame ingest into the first level's read.
+
+    ``x`` may be uint8 (deployment video frames): the kernel upcasts
+    in-VMEM, so the full-res read moves 1/4 the bytes; the result is
+    bit-identical to pooling ``x.astype(float32)`` (0..255 integers are
+    exact in fp32).
     """
     H, wc = x.shape
     assert H % 2 == 0 and wc % (2 * C) == 0
+    assert x.dtype in (jnp.float32, jnp.uint8), x.dtype
     grid = (pl.cdiv(H // 2, _BR), pl.cdiv(wc, _BW))
     ranges = _band_ranges(_BW, C)
     has_bias = bias is not None

@@ -124,6 +124,8 @@ def _downsample_half_flat(x: jax.Array, C: int, bias=None) -> jax.Array:
             and jax.default_backend() == "tpu"):
         from .pallas.pool import pool2x2_flat
         return pool2x2_flat(x, C, bias=bias)
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)     # uint8 ingest, fallback path
     if bias is not None:
         x = x + bias
     w = x.shape[1] // C
@@ -161,6 +163,11 @@ def build_pyramid(img: jax.Array, n_levels: int, padding: int,
     if ingest_bias is not None and start_level < 1:
         raise ValueError("ingest_bias requires start_level >= 1 (the "
                          "full-resolution level would miss the bias)")
+    if img.dtype == jnp.uint8 and start_level < 1:
+        # the full-res level feeds gradients/padding directly — upcast
+        # here; with start_level >= 1 the first pool fuses the upcast
+        # into its own read (1/4 the bytes on the dominant 4K pass)
+        img = img.astype(jnp.float32)
     levels = []
     # The downsample chain runs on the flat [h, w*C] view end to end —
     # rank-2 keeps XLA layouts packed across the Pallas pool boundary.

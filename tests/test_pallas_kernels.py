@@ -62,6 +62,39 @@ def test_pool2x2_flat_ragged_width_and_bias(rng):
     np.testing.assert_array_equal(with_bias, plain)
 
 
+def test_pool2x2_flat_uint8_ingest(rng):
+    """uint8 frames pool bit-identically to their fp32 conversion (the
+    in-kernel upcast; 0..255 integers are exact in fp32)."""
+    from flowonthego_tpu.ops.pallas.pool import pool2x2_flat
+    h, w, C = 40, 322, 3
+    u8 = (rng.random((h, w * C)) * 255).astype(np.uint8)
+    got = np.asarray(pool2x2_flat(jnp.asarray(u8), C, interpret=True))
+    ref = np.asarray(pool2x2_flat(jnp.asarray(u8, jnp.float32), C,
+                                  interpret=True))
+    np.testing.assert_array_equal(got, ref)
+    # with the fused ingest bias on top
+    gb = np.asarray(pool2x2_flat(jnp.asarray(u8), C,
+                                 bias=jnp.float32(1.5), interpret=True))
+    rb = np.asarray(pool2x2_flat(jnp.asarray(u8, jnp.float32), C,
+                                 bias=jnp.float32(1.5), interpret=True))
+    np.testing.assert_array_equal(gb, rb)
+
+
+def test_build_pyramid_uint8(rng):
+    """build_pyramid on uint8 equals build_pyramid on its float32 cast,
+    with and without a start_level (which routes the upcast through the
+    first pool's read)."""
+    from flowonthego_tpu.ops.pyramid import build_pyramid
+    u8 = (rng.random((32, 48, 3)) * 255).astype(np.uint8)
+    for start in (0, 1):
+        pu = build_pyramid(jnp.asarray(u8), 3, 4, start_level=start)
+        pf = build_pyramid(jnp.asarray(u8, jnp.float32), 3, 4,
+                           start_level=start)
+        for lu, lf in zip(pu, pf):
+            np.testing.assert_array_equal(
+                np.asarray(lu.image, np.float32), np.asarray(lf.image))
+
+
 def test_build_pyramid_ingest_bias(rng):
     """build_pyramid(img, ingest_bias=b) == build_pyramid(img + b) on the
     processed levels (start_level and coarser)."""
