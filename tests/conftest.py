@@ -15,6 +15,18 @@ if os.environ.get("_FOT_TEST_REEXEC") != "1":
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_PLATFORM_NAME"] = "cpu"
+    # Unset the axon pool address so the site hook never registers the
+    # TPU plugin at interpreter start: registration dials the tunnel
+    # relay, and a busy/wedged TPU worker would block this CPU-only
+    # suite at `import jax` for minutes.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    # Silence XLA:CPU's AOT-load chatter: deserializing *same-machine*
+    # cache entries still prints "+prefer-no-scatter is not supported"
+    # ERROR lines because those are compiler pseudo-features that never
+    # appear in the host's cpuid list (upstream noise; real cross-host
+    # staleness is prevented by the machine-keyed cache dir,
+    # flowonthego_tpu/utils/cache.py).
+    env.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     flags = env.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (
@@ -28,10 +40,13 @@ import numpy as np
 import pytest
 
 # Persistent compilation cache: the suite is compile-bound (every test jits
-# real pipelines); warm re-runs drop from ~10 min to seconds.
-jax.config.update("jax_compilation_cache_dir", "/tmp/fot_jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# real pipelines); warm re-runs drop from ~10 min to seconds.  The cache
+# dir is keyed by CPU feature set (utils/cache.py) so XLA:CPU AOT entries
+# from a different host are never loaded (they warn "+prefer-no-gather is
+# not supported ... could lead to execution errors such as SIGILL").
+from flowonthego_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 
 @pytest.fixture(scope="session")
