@@ -265,17 +265,21 @@ def sharded_scale_levels(cfg: DISConfig, H: int, n_space: int,
 
 
 def make_fine_spatial_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int,
-                           with_diagnostics: bool = False):
+                           with_diagnostics: bool = True):
     """Jitted row-sharded flow for padded [H, W, C] frames with the fine
     DIS scales computed in place under halo exchange.
 
-    Returns full-resolution flow [H, W, 2] sharded over 'space'.
-
-    ``with_diagnostics=True`` additionally returns the (replicated) count
-    of patches whose target sampling or fb scatter would have reached
-    beyond the provisioned halo — i.e. where the ``_halo_slack`` budget
-    was exceeded and the clamped result may differ from the unsharded
-    pipeline.  Zero means the sharded result is exact.
+    Returns ``(flow, halo_violations)`` by default: full-resolution flow
+    [H, W, 2] sharded over 'space', plus the (replicated) count of
+    patches whose target sampling or fb scatter would have reached beyond
+    the provisioned halo — i.e. where the ``_halo_slack`` budget was
+    exceeded and the clamped result may differ from the unsharded
+    pipeline.  Zero certifies the sharded result exact (up to fp
+    association).  The counter is a handful of per-patch compares
+    computed on-device — its cost is nil and it rides the caller's
+    existing fetch, so production callers get the certificate for free
+    instead of a silent clamp; ``with_diagnostics=False`` opts out and
+    returns the flow alone.
     """
     n_space = mesh.shape[SPACE_AXIS]
     if H % (n_space * (2 ** cfg.coarsest_scale)) != 0:

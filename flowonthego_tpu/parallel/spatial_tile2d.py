@@ -184,7 +184,7 @@ def _densify_tile(state: dis_mod.PatchState, grid: PatchGrid, cfg,
 
 
 def make_tile2d_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int,
-                     with_diagnostics: bool = False):
+                     with_diagnostics: bool = True):
     """Jitted 2-D tile-sharded flow for padded [H, W, C] frames.
 
     Input/output sharded P(rows, cols, None) over ``mesh``.  Fine scales
@@ -194,9 +194,12 @@ def make_tile2d_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int,
     consistency is not supported on the tile mesh (use the row-strip
     path, spatial_fine.py).
 
-    ``with_diagnostics=True`` additionally returns the replicated count
+    By default returns ``(flow, halo_violations)`` — the replicated count
     of patches whose sampling would have reached beyond the provisioned
-    2-D halo (zero => the tiled result is exact up to fp association).
+    2-D halo (zero certifies the tiled result exact up to fp
+    association; the on-device counter costs a few compares per patch
+    and rides the caller's existing fetch).  ``with_diagnostics=False``
+    opts out and returns the flow alone.
     """
     if cfg.use_fb_consistency:
         raise NotImplementedError(

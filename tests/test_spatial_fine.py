@@ -50,7 +50,9 @@ def test_fine_sharded_matches_single(rng, use_var_ref):
     I1 = np.roll(np.roll(I0, 2, axis=1), 1, axis=0)
 
     fn = make_fine_spatial_flow(mesh, cfg, H, W)
-    sharded = np.asarray(fn(jnp.asarray(I0), jnp.asarray(I1)))
+    sharded, viol = fn(jnp.asarray(I0), jnp.asarray(I1))
+    sharded = np.asarray(sharded)
+    assert int(viol) == 0
 
     single = dis_flow_padded(jnp.asarray(I0), jnp.asarray(I1), cfg)
     full = np.asarray(upsample_flow_to_full(single, cfg, H, W))
@@ -79,7 +81,9 @@ def test_fine_sharded_capability_matrix(rng, mode):
     I1 = np.roll(np.roll(I0, 2, axis=1), 1, axis=0)
 
     fn = make_fine_spatial_flow(mesh, cfg, H, W)
-    sharded = np.asarray(fn(jnp.asarray(I0), jnp.asarray(I1)))
+    sharded, viol = fn(jnp.asarray(I0), jnp.asarray(I1))
+    sharded = np.asarray(sharded)
+    assert int(viol) == 0
 
     single = dis_flow_padded(jnp.asarray(I0), jnp.asarray(I1), cfg)
     full = np.asarray(upsample_flow_to_full(single, cfg, H, W))
@@ -98,7 +102,9 @@ def test_fine_sharded_fb_with_varref(rng):
     I1 = np.roll(np.roll(I0, 2, axis=1), 1, axis=0)
 
     fn = make_fine_spatial_flow(mesh, cfg, H, W)
-    sharded = np.asarray(fn(jnp.asarray(I0), jnp.asarray(I1)))
+    sharded, viol = fn(jnp.asarray(I0), jnp.asarray(I1))
+    sharded = np.asarray(sharded)
+    assert int(viol) == 0
 
     single = dis_flow_padded(jnp.asarray(I0), jnp.asarray(I1), cfg)
     full = np.asarray(upsample_flow_to_full(single, cfg, H, W))
@@ -153,7 +159,9 @@ def test_fine_sharded_finest_zero(rng):
     I1 = np.roll(I0, 2, axis=1)
 
     fn = make_fine_spatial_flow(mesh, cfg, H, W)
-    sharded = np.asarray(fn(jnp.asarray(I0), jnp.asarray(I1)))
+    sharded, viol = fn(jnp.asarray(I0), jnp.asarray(I1))
+    sharded = np.asarray(sharded)
+    assert int(viol) == 0
     single = np.asarray(dis_flow_padded(jnp.asarray(I0), jnp.asarray(I1),
                                         cfg))
     np.testing.assert_allclose(sharded, single, rtol=1e-3, atol=1e-3)
