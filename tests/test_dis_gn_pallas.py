@@ -116,3 +116,25 @@ def test_gn_pallas_full_pipeline(rng):
     flow_pal = np.asarray(compute_flow(
         i0, i1, dataclasses.replace(cfg, gn_backend="pallas")))
     np.testing.assert_allclose(flow_pal, flow_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_gn_pallas_gridded_matches_single_block(rng, monkeypatch):
+    """The lane-tiled grid form (ops 3/4's big scales) matches the
+    single-block form (interpret mode exercises the BlockSpec indexing).
+    Not bit-equal: the per-lane reduction association depends on the
+    block shape under CPU vectorization (~1e-5); the math is otherwise
+    identical per lane."""
+    cfg = DISConfig(coarsest_scale=0, finest_scale=0, gn_backend="pallas")
+    i0, i1 = _scene(rng, 48, 64)
+    _, single = _optimize_both(cfg, i0, i1)
+    assert single.p_cur.shape[0] * single.p_cur.shape[1] > 128
+
+    monkeypatch.setattr(dis_mod, "gn_tile_lanes",
+                        lambda *a, **k: 128)
+    _, gridded = _optimize_both(cfg, i0, i1)
+    np.testing.assert_allclose(np.asarray(gridded.p_cur),
+                               np.asarray(single.p_cur),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gridded.cost_px),
+                               np.asarray(single.cost_px),
+                               rtol=1e-3, atol=1e-2)
