@@ -105,7 +105,7 @@ def densify(state: PatchState, grid: PatchGrid, cfg: DISConfig,
     n_h, n_w, h, w = grid.n_h, grid.n_w, grid.height, grid.width
     r = -(-ps // st)          # patches r apart in grid never overlap
     R = r * st                # cell pitch of one parity group
-    margin = ps + R           # generous static margin, cropped at the end
+    margin = ps + 2 * R       # generous static margin, cropped at the end
 
     # Per-pixel contributions: [n_h, n_w, ps, ps, 3] = (absw, absw*u, absw*v)
     absw = _pixel_weights(state, cfg)                     # [n_h, n_w, ps, ps]
@@ -113,11 +113,22 @@ def densify(state: PatchState, grid: PatchGrid, cfg: DISConfig,
     v = state.p_cur[..., 1][..., None, None]
     contrib = jnp.stack([absw, absw * u, absw * v], axis=-1)
 
+    # Parity selection via pad + reshape + STATIC index (never a stride-r
+    # slice: XLA lowers those to bitpacked-index gather kernels, and at
+    # operating point 3's sl=2 geometry — r=4, grid 38x86, ps=12 — the
+    # emitted gather crashes the TPU worker outright; a plain reshape
+    # keeps everything a dense copy).  Padded grid slots carry zero
+    # contributions, so every parity group uses one uniform [g_h, g_w]
+    # block shape.
+    g_h, g_w = -(-n_h // r), -(-n_w // r)
+    cgrid = jnp.pad(contrib, ((0, g_h * r - n_h), (0, g_w * r - n_w),
+                              (0, 0), (0, 0), (0, 0)))
+    cgrid = cgrid.reshape(g_h, r, g_w, r, ps, ps, 3)
+
     acc = jnp.zeros((h + 2 * margin, w + 2 * margin, 3), contrib.dtype)
     for a in range(r):          # parity group over grid rows
         for b in range(r):      # parity group over grid cols
-            blocks = contrib[a::r, b::r]          # [g_h, g_w, ps, ps, 3]
-            g_h, g_w = blocks.shape[0], blocks.shape[1]
+            blocks = cgrid[:, a, :, b]            # [g_h, g_w, ps, ps, 3]
             # Place each ps x ps block at the top-left of its R x R cell.
             blocks = jnp.pad(blocks, ((0, 0), (0, 0), (0, R - ps),
                                       (0, R - ps), (0, 0)))
