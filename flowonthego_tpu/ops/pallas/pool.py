@@ -134,8 +134,10 @@ def _pool_kernel(*refs, n_rows: int, n_cols: int, channels: int, ranges,
     if x.dtype != jnp.float32:
         # uint8 ingest (run_dense.cpp:137-145 converts at load; real video
         # arrives as uint8): the upcast rides the pool's own read, so the
-        # dominant full-res frame read costs 1/4 the HBM bytes.
-        x = x.astype(jnp.float32)
+        # dominant full-res frame read costs 1/4 the HBM bytes.  Mosaic
+        # has no direct uint8->f32 cast; widen through int32 (exact for
+        # 0..255).
+        x = x.astype(jnp.int32).astype(jnp.float32)
     if n_rows % (2 * _BR):
         # Blocks overrunning the image bottom read unspecified rows; a NaN
         # there would poison the left matmul through 0 * NaN, so zero them.
