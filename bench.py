@@ -196,6 +196,8 @@ def run_extra_task(name: str) -> float:
     faulted worker poisoned the shared client)."""
     import jax.numpy as jnp
     from flowonthego_tpu.utils.cache import enable_compile_cache
+    from flowonthego_tpu.utils.logfilter import install_stderr_noise_filter
+    install_stderr_noise_filter()
     enable_compile_cache()
     from flowonthego_tpu.config import operating_point, pad_to_divisible
     from flowonthego_tpu.io.images import load_image
@@ -251,6 +253,8 @@ def main():
     import numpy as np
 
     from flowonthego_tpu.utils.cache import enable_compile_cache
+    from flowonthego_tpu.utils.logfilter import install_stderr_noise_filter
+    install_stderr_noise_filter()
     enable_compile_cache()
     from flowonthego_tpu.config import operating_point, pad_to_divisible
     from flowonthego_tpu.io.images import load_image

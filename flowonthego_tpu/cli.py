@@ -19,6 +19,14 @@ baseline's run_DE_* SELECTMODE=2 variant) and writes a PFM file
 ``--min-iter N`` enables the CPU baseline's 20-param-form early-exit
 semantics: past N iterations the dp/dr convergence clauses may terminate
 a patch before <gd_iter> trips (kroeger/patch.cpp:279-282).
+
+Remaining CPU-baseline 20-param-form toggles (kroeger/README.md:71-88):
+``--fb`` enables forward-backward consistency (usefbcon — the backward
+grid's reversed flow merged during densification, kroeger/oflow.cpp:
+162-170); ``--cost l2|l1|huber`` selects the patch cost function
+(costfct, kroeger/patch.cpp:223-262); ``--densify-weight squared|abs``
+selects the aggregation weighting (squared = GPU port, abs = CPU
+baseline, kroeger/patchgrid.cpp:254-258).
 """
 
 from __future__ import annotations
@@ -59,6 +67,16 @@ def _parse_args(argv):
     # CPU-baseline 20-param-form extras (kroeger/README.md:71-88): minimum
     # GD iterations before the dp/dr early-exit clauses may fire
     argv, min_iter = _pop_flag(argv, "--min-iter")
+    argv, use_fb = _pop_flag(argv, "--fb", has_value=False, default=False)
+    argv, cost_fn = _pop_flag(argv, "--cost")
+    argv, densify_w = _pop_flag(argv, "--densify-weight")
+    if cost_fn is not None and cost_fn not in ("l2", "l1", "huber"):
+        print(f"error: --cost must be l2|l1|huber, got {cost_fn}\n")
+        sys.exit(2)
+    if densify_w is not None and densify_w not in ("squared", "abs"):
+        print(f"error: --densify-weight must be squared|abs, "
+              f"got {densify_w}\n")
+        sys.exit(2)
 
     if len(argv) < 3:
         print(__doc__)
@@ -66,13 +84,14 @@ def _parse_args(argv):
     img1, img2, out = argv[0], argv[1], argv[2]
     rest = argv[3:]
     return (img1, img2, out, rest, viz, mode, int(cam), channels,
-            None if min_iter is None else int(min_iter))
+            None if min_iter is None else int(min_iter),
+            bool(use_fb), cost_fn, densify_w)
 
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     (img1_path, img2_path, out_path, rest, viz, mode, cam,
-     channels, min_iter) = _parse_args(argv)
+     channels, min_iter, use_fb, cost_fn, densify_w) = _parse_args(argv)
 
     # Persistent compile cache: repeat CLI invocations skip XLA compiles.
     import jax
@@ -113,9 +132,18 @@ def main(argv=None):
         )
         if len(vals) > 12:
             verbosity = int(vals[12])
+    overrides = {}
     if min_iter is not None:
+        overrides["min_iter"] = min_iter
+    if use_fb:
+        overrides["use_fb_consistency"] = True
+    if cost_fn is not None:
+        overrides["cost_fn"] = cost_fn
+    if densify_w is not None:
+        overrides["densify_weight"] = densify_w
+    if overrides:
         import dataclasses
-        cfg = dataclasses.replace(cfg, min_iter=min_iter)
+        cfg = dataclasses.replace(cfg, **overrides)
 
     if verbosity > 1:
         print(f"TIME (Image loading) (ms): "

@@ -93,6 +93,26 @@ def _fb_merge_scatter(state: PatchState, grid: PatchGrid, cfg: DISConfig,
     return acc.reshape(out_h, out_w, 3)
 
 
+def parity_groups(contrib: jax.Array, r: int) -> jax.Array:
+    """Reshape the [n_h, n_w, ...] contribution grid so parity group
+    (a, b) is the STATIC index ``[:, a, :, b]``.
+
+    Never use stride-r slices (``contrib[a::r, b::r]``) for the parity
+    split: XLA lowers those to bitpacked-index gather kernels, and at
+    operating point 3's sl=2 geometry — r=4, grid 38x86, ps=12 — the
+    emitted gather crashes the TPU worker outright.  Padding to a
+    multiple of r and reshaping keeps everything a dense copy; the padded
+    slots carry zero contributions and every group shares one uniform
+    [g_h, g_w] block shape.
+    """
+    n_h, n_w = contrib.shape[:2]
+    g_h, g_w = -(-n_h // r), -(-n_w // r)
+    pad_cfg = [(0, g_h * r - n_h), (0, g_w * r - n_w)]
+    pad_cfg += [(0, 0)] * (contrib.ndim - 2)
+    cgrid = jnp.pad(contrib, pad_cfg)
+    return cgrid.reshape(g_h, r, g_w, r, *contrib.shape[2:])
+
+
 def densify(state: PatchState, grid: PatchGrid, cfg: DISConfig,
             compl_state: PatchState | None = None) -> jax.Array:
     """Aggregate per-patch flow into a dense [H, W, 2] field.
@@ -113,17 +133,10 @@ def densify(state: PatchState, grid: PatchGrid, cfg: DISConfig,
     v = state.p_cur[..., 1][..., None, None]
     contrib = jnp.stack([absw, absw * u, absw * v], axis=-1)
 
-    # Parity selection via pad + reshape + STATIC index (never a stride-r
-    # slice: XLA lowers those to bitpacked-index gather kernels, and at
-    # operating point 3's sl=2 geometry — r=4, grid 38x86, ps=12 — the
-    # emitted gather crashes the TPU worker outright; a plain reshape
-    # keeps everything a dense copy).  Padded grid slots carry zero
-    # contributions, so every parity group uses one uniform [g_h, g_w]
-    # block shape.
-    g_h, g_w = -(-n_h // r), -(-n_w // r)
-    cgrid = jnp.pad(contrib, ((0, g_h * r - n_h), (0, g_w * r - n_w),
-                              (0, 0), (0, 0), (0, 0)))
-    cgrid = cgrid.reshape(g_h, r, g_w, r, ps, ps, 3)
+    # Parity selection via pad + reshape + STATIC index (see parity_groups
+    # for why stride-r slices are forbidden here).
+    cgrid = parity_groups(contrib, r)
+    g_h, g_w = cgrid.shape[0], cgrid.shape[2]
 
     acc = jnp.zeros((h + 2 * margin, w + 2 * margin, 3), contrib.dtype)
     for a in range(r):          # parity group over grid rows

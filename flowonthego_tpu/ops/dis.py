@@ -79,8 +79,11 @@ def gn_tile_lanes(cfg: DISConfig, n_patches: int, E: int, C: int,
     # block pipelining overhead.
     operands = item * Pp * (E * E * C + 3 * ps * ps * C + K * K * C) \
         + 4 * Pp * 15
+    # outputs: p_cur (2, Pp) + cost_px (ps, ps*C, Pp), both fp32 — same
+    # footprint the gridded per-lane estimate models below
+    outputs = 4 * Pp * (ps * ps * C + 2)
     scratch = 4 * Pp * (K * E * C + K * K * C + 3 * ps * ps * C)
-    if operands + scratch <= _GN_PALLAS_VMEM_LIMIT:
+    if operands + outputs + scratch <= _GN_PALLAS_VMEM_LIMIT:
         return Pp
     # Gridded: Mosaic double-buffers each block's operand/output copies
     # (overlapping the grid step's DMA with compute), so the per-lane

@@ -157,16 +157,19 @@ def _densify_tile(state: dis_mod.PatchState, grid: PatchGrid, cfg,
     v = state.p_cur[..., 1][..., None, None]
     contrib = jnp.stack([absw, absw * u, absw * v], axis=-1)
 
-    over_r = (max(-(-n_loc_r // r), 1)) * R + R
-    over_c = (max(-(-n_loc_c // r), 1)) * R + R
+    # Parity split via pad + reshape + static index (densify.parity_groups
+    # — stride-r slices lower to a gather kernel that crashes the TPU
+    # worker at op-3 geometry).  Uniform [g_h, g_w] block shape per group;
+    # padded slots contribute zeros.
+    cgrid = densify_mod.parity_groups(contrib, r)
+    g_h, g_w = cgrid.shape[0], cgrid.shape[2]
+    over_r = g_h * R + R
+    over_c = g_w * R + R
     acc = jnp.zeros((hl + 2 * margin + over_r, wl + 2 * margin + over_c, 3),
                     contrib.dtype)
     for a in range(r):
         for b in range(r):
-            blocks = contrib[a::r, b::r]
-            g_h, g_w = blocks.shape[0], blocks.shape[1]
-            if g_h == 0 or g_w == 0:
-                continue
+            blocks = cgrid[:, a, :, b]
             blocks = jnp.pad(blocks, ((0, 0), (0, 0), (0, R - ps),
                                       (0, R - ps), (0, 0)))
             canvas = blocks.transpose(0, 2, 1, 3, 4).reshape(

@@ -20,13 +20,6 @@ if os.environ.get("_FOT_TEST_REEXEC") != "1":
     # relay, and a busy/wedged TPU worker would block this CPU-only
     # suite at `import jax` for minutes.
     env.pop("PALLAS_AXON_POOL_IPS", None)
-    # Silence XLA:CPU's AOT-load chatter: deserializing *same-machine*
-    # cache entries still prints "+prefer-no-scatter is not supported"
-    # ERROR lines because those are compiler pseudo-features that never
-    # appear in the host's cpuid list (upstream noise; real cross-host
-    # staleness is prevented by the machine-keyed cache dir,
-    # flowonthego_tpu/utils/cache.py).
-    env.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     flags = env.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (
@@ -35,9 +28,22 @@ if os.environ.get("_FOT_TEST_REEXEC") != "1":
     os.execve(sys.executable,
               [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
-import jax
-import numpy as np
-import pytest
+# Silence XLA:CPU's AOT-load chatter BEFORE anything compiles:
+# deserializing even *same-machine* cache entries prints a full
+# machine-feature dump at ERROR severity (the compile feature list always
+# contains pseudo-features like +prefer-no-scatter that no host cpuid
+# has).  TF_CPP_MIN_LOG_LEVEL can't do this reliably — jax's __init__
+# setdefaults it to '1' during pytest plugin loading, before this file
+# runs — so we filter the exact noise lines at the fd level instead
+# (utils/logfilter.py); real errors still reach the terminal.
+from flowonthego_tpu.utils.logfilter import \
+    install_stderr_noise_filter  # noqa: E402
+
+install_stderr_noise_filter()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
 
 # Persistent compilation cache: the suite is compile-bound (every test jits
 # real pipelines); warm re-runs drop from ~10 min to seconds.  The cache
