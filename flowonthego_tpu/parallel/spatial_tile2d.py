@@ -139,8 +139,73 @@ def _extract_tile(img_halo, gx_halo, gy_halo, grid: PatchGrid, cfg,
     return templates, gx, gy, H
 
 
+def _fb_merge_tile(state: dis_mod.PatchState, grid: PatchGrid, cfg,
+                   hl: int, wl: int, margin: int, idx_r, idx_c,
+                   valid) -> jax.Array:
+    """2-D tile analogue of spatial_fine._fb_merge_strip (forward-backward
+    consistency, kroeger/patchgrid.cpp:277-375): each local complementary
+    patch scatters its NEGATED flow, bilinearly spread over the 4 cells
+    of its optimized position ``mid_org + p_cur`` (global coordinates),
+    into a tile canvas with ``margin`` spill on every side; the margins
+    are folded into all four neighbors (rows first, then columns — the
+    column fold's margins already carry the folded corner rows).
+
+    Returns a [hl, wl, 3] (weight, u, v) accumulator to add to the
+    forward accumulator before normalization.  Contributions beyond the
+    margin are dropped — the caller's halo-violation counter flags the
+    patches that could produce any.
+    """
+    ps = grid.patch_size
+    w_g, h_g = grid.width, grid.height
+    pos = state.mid_org + state.p_cur                  # global coords
+    px = pos[..., 0]
+    py = pos[..., 1]
+    cx = jnp.ceil(px + 1e-5).astype(jnp.int32)
+    cy = jnp.ceil(py + 1e-5).astype(jnp.int32)
+    fx = jnp.floor(px)
+    fy = jnp.floor(py)
+    rx = (px - fx)[..., None, None]
+    ry = (py - fy)[..., None, None]
+    wbil = [rx * ry, (1 - rx) * ry, rx * (1 - ry), (1 - rx) * (1 - ry)]
+    corner_off = [(0, 0), (1, 0), (0, 1), (1, 1)]
+
+    absw = densify_mod._pixel_weights(state, cfg)
+    absw = jnp.where(valid[..., None, None], absw, 0.0)
+    u = state.p_cur[..., 0][..., None, None]
+    v = state.p_cur[..., 1][..., None, None]
+    base = jnp.stack([absw, -u * absw, -v * absw], axis=-1)
+
+    lb = -ps // 2
+    dx = jnp.arange(lb, lb + ps, dtype=jnp.int32)[None, :]
+    dy = jnp.arange(lb, lb + ps, dtype=jnp.int32)[:, None]
+    xt = cx[..., None, None] + dx                      # global [.., ps, ps]
+    yt = cy[..., None, None] + dy
+    # reference validity box (global), kroeger/patchgrid.cpp:327-328
+    ok = (xt >= 1) & (yt >= 1) & (xt < w_g - 1) & (yt < h_g - 1)
+    # tile-local coords incl. margin offset
+    yl = yt - idx_r * hl + margin
+    xl = xt - idx_c * wl + margin
+    rows_acc = hl + 2 * margin
+    cols_acc = wl + 2 * margin
+
+    acc = jnp.zeros((rows_acc * cols_acc, 3), base.dtype)
+    for (ox, oy), wb in zip(corner_off, wbil):
+        yc = yl - oy
+        xc = xl - ox
+        okc = (ok & (yc >= 0) & (yc < rows_acc)
+               & (xc >= 0) & (xc < cols_acc))
+        lin = (yc * cols_acc + xc).reshape(-1)
+        vals = jnp.where(okc[..., None], wb[..., None] * base, 0.0)
+        lin = jnp.where(okc.reshape(-1), lin, rows_acc * cols_acc)
+        acc = acc.at[lin].add(vals.reshape(-1, 3), mode="drop")
+    acc = acc.reshape(rows_acc, cols_acc, 3)
+    acc = exchange_accumulate_rows(acc, margin, ROW_AXIS)
+    return exchange_accumulate_cols(acc, margin, COL_AXIS)
+
+
 def _densify_tile(state: dis_mod.PatchState, grid: PatchGrid, cfg,
-                  hl: int, wl: int, base_row, base_col, valid) -> jax.Array:
+                  hl: int, wl: int, base_row, base_col, valid,
+                  compl_acc=None) -> jax.Array:
     """2-D overlap-add densification into the [hl, wl, 2] tile; margin
     spill folded into all four neighbors (rows first, then columns — the
     column fold's margins already carry the folded corner rows, the
@@ -182,6 +247,8 @@ def _densify_tile(state: dis_mod.PatchState, grid: PatchGrid, cfg,
     acc = acc[:hl + 2 * margin, :wl + 2 * margin]
     acc = exchange_accumulate_rows(acc, margin, ROW_AXIS)
     acc = exchange_accumulate_cols(acc, margin, COL_AXIS)
+    if compl_acc is not None:
+        acc = acc + compl_acc
     weight = acc[..., 0:1]
     return jnp.where(weight > 0, acc[..., 1:3] / weight, 0.0)
 
@@ -194,8 +261,10 @@ def make_tile2d_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int,
     whose tiles cover their halos run fully tiled (extraction, warm
     start, optimization, densification fold, tiled var-ref); coarser
     scales replicate behind a two-axis all_gather.  Forward-backward
-    consistency is not supported on the tile mesh (use the row-strip
-    path, spatial_fine.py).
+    consistency (kroeger/oflow.cpp:162-170) runs fully tiled too: the
+    backward grid rides the same halo machinery and its reversed-flow
+    merge is a 2-D tile scatter folded into all four neighbors
+    (:func:`_fb_merge_tile`).
 
     By default returns ``(flow, halo_violations)`` — the replicated count
     of patches whose sampling would have reached beyond the provisioned
@@ -204,9 +273,6 @@ def make_tile2d_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int,
     and rides the caller's existing fetch).  ``with_diagnostics=False``
     opts out and returns the flow alone.
     """
-    if cfg.use_fb_consistency:
-        raise NotImplementedError(
-            "fb-consistency runs on the row-strip path (spatial_fine)")
     n_r = mesh.shape[ROW_AXIS]
     n_c = mesh.shape[COL_AXIS]
     div = 2 ** cfg.coarsest_scale
@@ -238,6 +304,7 @@ def make_tile2d_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int,
             return exchange_cols(x, halo, COL_AXIS, mode=mode)
 
         flow_tile = None
+        flow_bw_tile = None   # backward chain (forward-backward consistency)
         for sl in range(cfg.coarsest_scale, cfg.finest_scale - 1, -1):
             w_sl, h_sl = W >> sl, H >> sl
             hl_sl, wl_sl = hl0 >> sl, wl0 >> sl
@@ -248,23 +315,43 @@ def make_tile2d_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int,
                 # --- replicated fallback: gather, compute, re-slice ---
                 a_full = gather_full(s0)
                 b_full = gather_full(s1)
-                warm = None if flow_tile is None else gather_full(flow_tile)
-                gx0, gy0 = central_diff(a_full)
-                tmpl, gx, gy, Hs = extract_templates_and_hessians(
-                    pad_replicate(a_full, pad), pad_constant(gx0, pad),
-                    pad_constant(gy0, pad), grid, cfg)
-                st = dis_mod.init_state(tmpl, gx, gy, Hs, grid)
-                if warm is not None:
-                    st = dis_mod.init_from_coarser(st, warm, grid)
-                st = dis_mod.optimize(st, pad_replicate(b_full, pad),
-                                      grid, cfg)
-                flow_full = densify_mod.densify(st, grid, cfg)
+
+                def dis_full(src, tgt, warm_tile):
+                    warm = (None if warm_tile is None
+                            else gather_full(warm_tile))
+                    gx0, gy0 = central_diff(src)
+                    tmpl, gx, gy, Hs = extract_templates_and_hessians(
+                        pad_replicate(src, pad), pad_constant(gx0, pad),
+                        pad_constant(gy0, pad), grid, cfg)
+                    st = dis_mod.init_state(tmpl, gx, gy, Hs, grid)
+                    if warm is not None:
+                        st = dis_mod.init_from_coarser(st, warm, grid)
+                    return dis_mod.optimize(st, pad_replicate(tgt, pad),
+                                            grid, cfg)
+
+                st = dis_full(a_full, b_full, flow_tile)
+                st_bw = None
+                if cfg.use_fb_consistency:
+                    st_bw = dis_full(b_full, a_full, flow_bw_tile)
+                flow_full = densify_mod.densify(st, grid, cfg,
+                                                compl_state=st_bw)
+                bw_full = None
+                if st_bw is not None and sl > cfg.finest_scale:
+                    bw_full = densify_mod.densify(st_bw, grid, cfg,
+                                                  compl_state=st)
                 if cfg.use_var_ref:
                     flow_full = var_mod.variational_refine_auto(
                         flow_full, a_full, b_full, cfg, sl)
+                    if bw_full is not None:
+                        bw_full = var_mod.variational_refine_auto(
+                            bw_full, b_full, a_full, cfg, sl)
                 flow_tile = lax.dynamic_slice(
                     flow_full, (idx_r * hl_sl, idx_c * wl_sl, 0),
                     (hl_sl, wl_sl, 2))
+                if bw_full is not None:
+                    flow_bw_tile = lax.dynamic_slice(
+                        bw_full, (idx_r * hl_sl, idx_c * wl_sl, 0),
+                        (hl_sl, wl_sl, 2))
                 continue
 
             # --- 2-D tiled scale ---
@@ -311,58 +398,86 @@ def make_tile2d_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int,
                        | (rig > hi_c)) & mask & valid
                 return bad.sum(dtype=jnp.int32)
 
-            # extraction from the 2-D halo'd source tile; gradients on the
-            # same halo'd tile (halo rows/cols inside the image are real
-            # pixels, so central_diff there equals the unsharded gradient;
-            # at the global border the edge-replicate matches NPP
-            # replicate-border, pyramid.central_diff)
-            imgh = halo2d(s0, pad)
-            gxh, gyh = central_diff(imgh)
-            row_g = (lax.broadcasted_iota(jnp.int32, gxh.shape[:1], 0)
-                     - pad) + idx_r * hl_sl
-            col_g = (lax.broadcasted_iota(jnp.int32, gxh.shape[1:2], 0)
-                     - pad) + idx_c * wl_sl
-            ok = (((row_g >= 0) & (row_g < h_sl))[:, None, None]
-                  & ((col_g >= 0) & (col_g < w_sl))[None, :, None])
-            gxh = jnp.where(ok, gxh, 0.0)
-            gyh = jnp.where(ok, gyh, 0.0)
-            tmpl, gx, gy, Hs = _extract_tile(imgh, gxh, gyh, grid, cfg,
-                                             row0_local, col0_local,
-                                             n_loc_r, n_loc_c)
-            state = dis_mod.PatchState(
-                p_cur=jnp.zeros((n_loc_r, n_loc_c, 2), tmpl.dtype),
-                p_org=jnp.zeros((n_loc_r, n_loc_c, 2), tmpl.dtype),
-                mid_org=mid_org.astype(tmpl.dtype),
-                H=Hs, templates=tmpl, tgrad_x=gx, tgrad_y=gy,
-                converged=~valid,
-                cost_px=jnp.zeros_like(tmpl), diff=jnp.zeros_like(tmpl))
+            def run_tile(src, tgt, warm_tile):
+                """Extract from ``src`` (2-D halo'd), warm-start, optimize
+                vs ``tgt``.  Gradients on the halo'd tile: halo rows/cols
+                inside the image are real pixels, so central_diff there
+                equals the unsharded gradient; at the global border the
+                edge-replicate matches NPP replicate-border."""
+                imgh = halo2d(src, pad)
+                gxh, gyh = central_diff(imgh)
+                row_g = (lax.broadcasted_iota(jnp.int32, gxh.shape[:1], 0)
+                         - pad) + idx_r * hl_sl
+                col_g = (lax.broadcasted_iota(jnp.int32, gxh.shape[1:2], 0)
+                         - pad) + idx_c * wl_sl
+                ok = (((row_g >= 0) & (row_g < h_sl))[:, None, None]
+                      & ((col_g >= 0) & (col_g < w_sl))[None, :, None])
+                gxh = jnp.where(ok, gxh, 0.0)
+                gyh = jnp.where(ok, gyh, 0.0)
+                tmpl, gx, gy, Hs = _extract_tile(imgh, gxh, gyh, grid, cfg,
+                                                 row0_local, col0_local,
+                                                 n_loc_r, n_loc_c)
+                st = dis_mod.PatchState(
+                    p_cur=jnp.zeros((n_loc_r, n_loc_c, 2), tmpl.dtype),
+                    p_org=jnp.zeros((n_loc_r, n_loc_c, 2), tmpl.dtype),
+                    mid_org=mid_org.astype(tmpl.dtype),
+                    H=Hs, templates=tmpl, tgrad_x=gx, tgrad_y=gy,
+                    converged=~valid,
+                    cost_px=jnp.zeros_like(tmpl), diff=jnp.zeros_like(tmpl))
 
-            if flow_tile is not None:
-                iy = (my.astype(jnp.int32) // 2) - idx_r * (hl_sl // 2)
-                ix = (mx.astype(jnp.int32) // 2) - idx_c * (wl_sl // 2)
-                p = flow_tile[
-                    jnp.clip(iy, 0, flow_tile.shape[0] - 1)[:, None],
-                    jnp.clip(ix, 0, flow_tile.shape[1] - 1)[None, :],
-                    :] * 2.0
-                mid = state.mid_org + p
-                oob = ((mid[..., 0] < grid.l_bound)
-                       | (mid[..., 1] < grid.l_bound)
-                       | (mid[..., 0] > grid.u_bound_w)
-                       | (mid[..., 1] > grid.u_bound_h))
-                state = state._replace(p_cur=p, p_org=p,
-                                       converged=state.converged | oob)
+                if warm_tile is not None:
+                    iy = (my.astype(jnp.int32) // 2) - idx_r * (hl_sl // 2)
+                    ix = (mx.astype(jnp.int32) // 2) - idx_c * (wl_sl // 2)
+                    p = warm_tile[
+                        jnp.clip(iy, 0, warm_tile.shape[0] - 1)[:, None],
+                        jnp.clip(ix, 0, warm_tile.shape[1] - 1)[None, :],
+                        :] * 2.0
+                    mid = st.mid_org + p
+                    oob = ((mid[..., 0] < grid.l_bound)
+                           | (mid[..., 1] < grid.l_bound)
+                           | (mid[..., 0] > grid.u_bound_w)
+                           | (mid[..., 1] > grid.u_bound_h))
+                    st = st._replace(p_cur=p, p_org=p,
+                                     converged=st.converged | oob)
 
-            imgth = halo2d(s1, halo_t)
-            row_off = ((halo_t - pad) - idx_r * hl_sl).astype(tmpl.dtype)
-            col_off = ((halo_t - pad) - idx_c * wl_sl).astype(tmpl.dtype)
-            sample_offset = jnp.stack([col_off, row_off])
-            halo_viol = halo_viol + reach_violations(state.p_cur,
-                                                    ~state.converged)
-            state = dis_mod.optimize(state, imgth, grid, cfg,
-                                     sample_offset=sample_offset)
+                imgth = halo2d(tgt, halo_t)
+                row_off = ((halo_t - pad) - idx_r * hl_sl).astype(tmpl.dtype)
+                col_off = ((halo_t - pad) - idx_c * wl_sl).astype(tmpl.dtype)
+                sample_offset = jnp.stack([col_off, row_off])
+                viol = reach_violations(st.p_cur, ~st.converged)
+                return dis_mod.optimize(st, imgth, grid, cfg,
+                                        sample_offset=sample_offset), viol
 
+            state, v = run_tile(s0, s1, flow_tile)
+            halo_viol = halo_viol + v
+            state_bw = None
+            if cfg.use_fb_consistency:
+                state_bw, v = run_tile(s1, s0, flow_bw_tile)
+                halo_viol = halo_viol + v
+
+            compl_acc = None
+            if state_bw is not None:
+                # fb scatter positions are mid_org + p_cur for every valid
+                # patch (converged or not) — check their reach too
+                halo_viol = (halo_viol
+                             + reach_violations(
+                                 state_bw.p_cur,
+                                 jnp.ones_like(state_bw.converged))
+                             + reach_violations(
+                                 state.p_cur,
+                                 jnp.ones_like(state.converged)))
+                compl_acc = _fb_merge_tile(state_bw, grid, cfg, hl_sl,
+                                           wl_sl, halo_t, idx_r, idx_c,
+                                           valid)
             flow_tile = _densify_tile(state, grid, cfg, hl_sl, wl_sl,
-                                      row0_local, col0_local, valid)
+                                      row0_local, col0_local, valid,
+                                      compl_acc=compl_acc)
+            if state_bw is not None and sl > cfg.finest_scale:
+                compl_fwd = _fb_merge_tile(state, grid, cfg, hl_sl, wl_sl,
+                                           halo_t, idx_r, idx_c, valid)
+                flow_bw_tile = _densify_tile(state_bw, grid, cfg, hl_sl,
+                                             wl_sl, row0_local, col0_local,
+                                             valid, compl_acc=compl_fwd)
 
             if cfg.use_var_ref:
                 warp_halo = (int(math.ceil(displacement_bound(cfg, sl)))
@@ -370,6 +485,10 @@ def make_tile2d_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int,
                 flow_tile = variational_refine_tile(
                     flow_tile, s0, s1, cfg, sl, ROW_AXIS, COL_AXIS,
                     idx_r, idx_c, hl_sl, wl_sl, h_sl, w_sl, warp_halo)
+                if state_bw is not None and sl > cfg.finest_scale:
+                    flow_bw_tile = variational_refine_tile(
+                        flow_bw_tile, s1, s0, cfg, sl, ROW_AXIS, COL_AXIS,
+                        idx_r, idx_c, hl_sl, wl_sl, h_sl, w_sl, warp_halo)
 
         # --- upsample the finest tile to full resolution ---
         fs = cfg.finest_scale

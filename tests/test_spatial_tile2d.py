@@ -66,8 +66,26 @@ def test_tile2d_without_varref(rng):
     _check((2, 4), cfg, H=80 * 4, W=80 * 8, rng=rng)
 
 
-def test_tile2d_rejects_fb():
-    cfg = DISConfig(use_fb_consistency=True)
+def test_tile2d_fb_consistency(rng):
+    """usefbcon (kroeger/oflow.cpp:162-170) fully tiled: the backward
+    grid's reversed-flow merge is a 2-D tile scatter folded into all
+    four neighbors (_fb_merge_tile)."""
+    cfg = DISConfig(coarsest_scale=3, finest_scale=1, grad_descent_iter=8,
+                    use_var_ref=True, use_fb_consistency=True)
+    _check((2, 4), cfg, H=80 * 4, W=80 * 8, rng=rng)
+
+
+def test_tile2d_fb_changes_result(rng):
+    """fb merge must actually contribute (guards against a silently
+    dropped backward accumulator)."""
+    H, W = 80 * 4, 80 * 8
+    cfg = DISConfig(coarsest_scale=3, finest_scale=1, grad_descent_iter=8,
+                    use_var_ref=False)
+    cfg_fb = dataclasses.replace(cfg, use_fb_consistency=True)
     mesh = make_tile_mesh(2, 4, devices=jax.devices()[:8])
-    with pytest.raises(NotImplementedError):
-        make_tile2d_flow(mesh, cfg, 512, 1024)
+    A, B = _smooth_pair(rng, H, W)
+    plain = np.asarray(make_tile2d_flow(mesh, cfg, H, W,
+                                        with_diagnostics=False)(A, B))
+    fb = np.asarray(make_tile2d_flow(mesh, cfg_fb, H, W,
+                                     with_diagnostics=False)(A, B))
+    assert np.abs(fb - plain).max() > 1e-6
