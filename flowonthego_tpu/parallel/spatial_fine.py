@@ -271,7 +271,8 @@ def sharded_scale_levels(cfg: DISConfig, H: int, n_space: int,
 
 
 def make_fine_spatial_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int,
-                           with_diagnostics: bool = True):
+                           with_diagnostics: bool = True,
+                           halo_slack: int | None = None):
     """Jitted row-sharded flow for padded [H, W, C] frames with the fine
     DIS scales computed in place under halo exchange.
 
@@ -293,6 +294,7 @@ def make_fine_spatial_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int,
     hl0 = H // n_space
     sharded_levels = set(sharded_scale_levels(cfg, H, n_space))
     pad = cfg.padding
+    slack = _halo_slack(cfg) if halo_slack is None else halo_slack
 
     def worker(i0_strip, i1_strip):
         idx = lax.axis_index(SPACE_AXIS)
@@ -404,7 +406,7 @@ def make_fine_spatial_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int,
                           - idx * hl_sl)
 
             halo_t = (int(math.ceil(displacement_bound(cfg, sl))) + pad
-                      + _halo_slack(cfg))
+                      + slack)
 
             def row_reach_violations(p, mask):
                 """Count patches whose patch rows at displacement ``p``
@@ -500,7 +502,7 @@ def make_fine_spatial_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int,
                 # fully sharded refinement: per-sweep SOR halo exchange
                 from .varref_sharded import variational_refine_sharded
                 warp_halo = (int(math.ceil(displacement_bound(cfg, sl)))
-                             + 2 + _halo_slack(cfg))
+                             + 2 + slack)
                 flow_strip = variational_refine_sharded(
                     flow_strip, s0, s1, cfg, sl, SPACE_AXIS, idx, hl_sl,
                     h_sl, warp_halo)
@@ -529,3 +531,49 @@ def make_fine_spatial_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int,
                         in_specs=(P(SPACE_AXIS), P(SPACE_AXIS)),
                         out_specs=out_specs, check_vma=False)
     return jax.jit(sharded)
+
+
+def make_fine_spatial_flow_recovering(mesh: Mesh, cfg: DISConfig, H: int,
+                                      W: int,
+                                      halo_slack: int | None = None):
+    """Row-sharded flow with halo-violation RECOVERY, not just detection.
+
+    Returns ``fn(I0, I1) -> (flow, halo_violations)``.  When the on-device
+    certificate reports zero violations the sharded result is exact (up
+    to fp association) and is returned as-is.  When it is nonzero — the
+    warm start outran the provisioned halo and sampling was silently
+    clamped — the frame is recomputed on the replicated (unsharded-math)
+    path, so the API never returns clamped flow.  The counter is still
+    returned so callers can monitor how often the slack budget trips.
+
+    The replicated executable is built lazily on first violation and
+    cached; a deployment that never starves its halos never compiles it.
+    """
+    sharded = make_fine_spatial_flow(mesh, cfg, H, W,
+                                     with_diagnostics=True,
+                                     halo_slack=halo_slack)
+    return with_replicated_recovery(sharded, cfg, H, W)
+
+
+def with_replicated_recovery(sharded_fn, cfg: DISConfig, H: int, W: int):
+    """Wrap a diagnostics-returning sharded flow fn with the replicated
+    fallback described in :func:`make_fine_spatial_flow_recovering`
+    (shared by the row-strip and 2-D tile paths)."""
+    fallback = []       # lazily-built jitted replicated path
+
+    def fn(I0, I1):
+        flow, viol = sharded_fn(I0, I1)
+        if int(viol) > 0:
+            if not fallback:
+                from ..models.dis_flow import (dis_flow_padded,
+                                               upsample_flow_to_full)
+
+                @jax.jit
+                def replicated(a, b):
+                    return upsample_flow_to_full(
+                        dis_flow_padded(a, b, cfg), cfg, H, W)
+                fallback.append(replicated)
+            flow = fallback[0](I0, I1)
+        return flow, viol
+
+    return fn

@@ -60,7 +60,8 @@ from .spatial_fine import _halo_slack, displacement_bound
 from .varref_tiled2d import COL_AXIS, ROW_AXIS, make_tile_mesh, \
     variational_refine_tile
 
-__all__ = ["make_tile_mesh", "make_tile2d_flow", "tiled2d_scale_levels"]
+__all__ = ["make_tile_mesh", "make_tile2d_flow",
+           "make_tile2d_flow_recovering", "tiled2d_scale_levels"]
 
 
 def _axis_layout(steps: int, offset: int, n_patches: int, extent: int,
@@ -254,7 +255,8 @@ def _densify_tile(state: dis_mod.PatchState, grid: PatchGrid, cfg,
 
 
 def make_tile2d_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int,
-                     with_diagnostics: bool = True):
+                     with_diagnostics: bool = True,
+                     halo_slack: int | None = None):
     """Jitted 2-D tile-sharded flow for padded [H, W, C] frames.
 
     Input/output sharded P(rows, cols, None) over ``mesh``.  Fine scales
@@ -282,6 +284,7 @@ def make_tile2d_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int,
     hl0, wl0 = H // n_r, W // n_c
     tiled_levels = set(tiled2d_scale_levels(cfg, H, W, n_r, n_c))
     pad = cfg.padding
+    slack = _halo_slack(cfg) if halo_slack is None else halo_slack
 
     def worker(i0_tile, i1_tile):
         idx_r = lax.axis_index(ROW_AXIS)
@@ -378,7 +381,7 @@ def make_tile2d_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int,
             col0_local = grid.offset_w + start_c * st_px - idx_c * wl_sl
 
             halo_t = (int(math.ceil(displacement_bound(cfg, sl))) + pad
-                      + _halo_slack(cfg))
+                      + slack)
 
             def reach_violations(p, mask, mid_org=mid_org, grid=grid,
                                  idx_r=idx_r, idx_c=idx_c, hl_sl=hl_sl,
@@ -481,7 +484,7 @@ def make_tile2d_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int,
 
             if cfg.use_var_ref:
                 warp_halo = (int(math.ceil(displacement_bound(cfg, sl)))
-                             + 2 + _halo_slack(cfg))
+                             + 2 + slack)
                 flow_tile = variational_refine_tile(
                     flow_tile, s0, s1, cfg, sl, ROW_AXIS, COL_AXIS,
                     idx_r, idx_c, hl_sl, wl_sl, h_sl, w_sl, warp_halo)
@@ -511,3 +514,15 @@ def make_tile2d_flow(mesh: Mesh, cfg: DISConfig, H: int, W: int,
                         in_specs=(P(ROW_AXIS, COL_AXIS, None),) * 2,
                         out_specs=out_specs, check_vma=False)
     return jax.jit(sharded)
+
+
+def make_tile2d_flow_recovering(mesh: Mesh, cfg: DISConfig, H: int, W: int,
+                                halo_slack: int | None = None):
+    """Tile-sharded flow with halo-violation recovery: nonzero certificate
+    -> the frame is recomputed on the replicated (unsharded-math) path, so
+    the API never returns silently clamped flow (see
+    spatial_fine.with_replicated_recovery)."""
+    from .spatial_fine import with_replicated_recovery
+    sharded = make_tile2d_flow(mesh, cfg, H, W, with_diagnostics=True,
+                               halo_slack=halo_slack)
+    return with_replicated_recovery(sharded, cfg, H, W)
