@@ -30,34 +30,92 @@ EPS_SMOOTH = 0.001 * 0.001
 # VMEM budget for the fused Pallas refine: the kernel keeps ~34 h*w
 # fp32 planes resident (8 derivative planes x3 channels + work fields).
 _PALLAS_VARREF_MAX_PIXELS = 88_000
-# Width cap for the SINGLE-BLOCK fused kernel: at w = 256 (2+ lane
-# tiles) the Mosaic compile of the fully-unrolled single block hangs
-# (>30 min; the op-point-3 scale-2 field 256x112 reproducibly took the
-# TPU worker down), while every <=128-lane-wide field compiles in
-# seconds.  Wider fields route to the halo-TILED kernel, whose blocks
-# are multi-tile by construction and compile fine (512x224 measured ok).
+# Measured-safe width for the SINGLE-BLOCK fused kernel: at w = 256 (2+
+# lane tiles) the Mosaic compile of the fully-unrolled single block
+# hangs (>30 min; the op-point-3 scale-2 field 256x112 reproducibly took
+# the TPU worker down), while every <=128-lane-wide field compiles in
+# seconds.  Fields beyond this envelope are gated by an ENFORCED
+# subprocess compile probe (utils/compile_guard): first encounter
+# compiles the kernel in an isolated child with a timeout; a hang burns
+# the timeout once, is recorded persistently, and the shape routes to
+# the halo-TILED kernel (multi-tile blocks by construction, 512x224
+# measured ok) from then on.
 _PALLAS_VARREF_MAX_WIDTH = 128
 
 
-def use_pallas_varref(cfg, h: int, w: int) -> bool:
+def _fused_probe_key(h: int, w: int, C: int, level: int,
+                     solve_iter: int) -> str:
+    return f"varref_fused:{h}x{w}x{C}:l{level}:it{solve_iter}"
+
+
+# Measured verdicts (seeded so the known hang mode never burns a probe
+# timeout): the op-3 scale-2 field — the round-3 incident shape.
+_SEEDED_VERDICTS = {
+    _fused_probe_key(112, 256, 3, 2, 3): "hang",
+}
+
+
+def _fused_compile_ok(cfg, h: int, w: int, C: int, level: int) -> bool:
+    """Enforced compile-hang guard for the fused kernel outside the
+    measured-safe envelope (see _PALLAS_VARREF_MAX_WIDTH)."""
+    from ..utils import compile_guard
+    key = _fused_probe_key(h, w, C, level, cfg.var_ref_iter)
+    if key in _SEEDED_VERDICTS:
+        return _SEEDED_VERDICTS[key] == "ok"
+    if not compile_guard.enabled():
+        # guard disabled: only the measured envelope is trusted
+        return False
+    import os
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    src = f"""
+import sys
+sys.path.insert(0, {repo!r})
+import jax, jax.numpy as jnp
+from flowonthego_tpu.config import DISConfig
+from flowonthego_tpu.ops.pallas.varref_fused import variational_refine_fused
+cfg = DISConfig(var_ref_iter={cfg.var_ref_iter},
+                var_ref_sor_weight={cfg.var_ref_sor_weight},
+                var_ref_alpha={cfg.var_ref_alpha},
+                var_ref_gamma={cfg.var_ref_gamma},
+                var_ref_delta={cfg.var_ref_delta})
+flow = jnp.zeros(({h}, {w}, 2), jnp.float32)
+im = jnp.zeros(({h}, {w}, {C}), jnp.float32)
+jax.jit(lambda f, a, b: variational_refine_fused(f, a, b, cfg, {level})
+        ).lower(flow, im, im).compile()
+print("OK")
+"""
+    timeout = float(os.environ.get("FOT_COMPILE_GUARD_TIMEOUT", "120"))
+    return compile_guard.probe_ok(key, src, timeout=timeout)
+
+
+def use_pallas_varref(cfg, h: int, w: int, channels: int = 3,
+                      level: int = 0) -> bool:
     """Resolve cfg.varref_backend for an h x w refined field.
 
     "auto" picks the fused Pallas kernel (ops/pallas/varref_fused) on TPU
     when the whole inner loop fits VMEM — the XLA stencil form issues
     ~100 small ops per inner iteration, which at the reference's tiny
-    operating-point fields costs more in dispatch than compute.
+    operating-point fields costs more in dispatch than compute.  Fields
+    inside the measured-safe envelope go straight to the fused kernel;
+    wider fields are admitted only if the subprocess compile probe
+    certifies their first-time Mosaic compile terminates.
     """
     import jax as _jax
     if cfg.varref_backend == "pallas":
         return True
     if cfg.varref_backend == "auto":
-        return (h * w <= _PALLAS_VARREF_MAX_PIXELS
-                and w <= _PALLAS_VARREF_MAX_WIDTH
-                and _jax.default_backend() == "tpu")
+        if (h * w > _PALLAS_VARREF_MAX_PIXELS
+                or _jax.default_backend() != "tpu"):
+            return False
+        if w <= _PALLAS_VARREF_MAX_WIDTH:
+            return True
+        return _fused_compile_ok(cfg, h, w, channels, level)
     return False
 
 
-def varref_backend_for(cfg, h: int, w: int, level: int) -> str:
+def varref_backend_for(cfg, h: int, w: int, level: int,
+                       channels: int = 3) -> str:
     """Three-way resolver: 'fused' (one VMEM-resident block), 'tiled'
     (halo-tiled Pallas — fields past the ~88k-pixel single-block ceiling,
     e.g. finest_scale=0 at 1024x436), or 'xla' (CPU / forced).
@@ -67,7 +125,7 @@ def varref_backend_for(cfg, h: int, w: int, level: int) -> str:
     which holds for the fine-scale levels where large fields occur.
     """
     import jax as _jax
-    if use_pallas_varref(cfg, h, w):
+    if use_pallas_varref(cfg, h, w, channels, level):
         return "fused"
     if cfg.varref_backend not in ("auto", "pallas"):
         return "xla"
@@ -79,7 +137,8 @@ def varref_backend_for(cfg, h: int, w: int, level: int) -> str:
 
 def variational_refine_auto(flow, im1, im2, cfg, level: int):
     """Backend-dispatching refine (fused / tiled / XLA stencils)."""
-    backend = varref_backend_for(cfg, flow.shape[0], flow.shape[1], level)
+    backend = varref_backend_for(cfg, flow.shape[0], flow.shape[1], level,
+                                 channels=im1.shape[-1])
     if backend == "fused":
         from .pallas.varref_fused import variational_refine_fused
         return variational_refine_fused(flow, im1, im2, cfg, level)
