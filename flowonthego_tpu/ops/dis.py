@@ -71,13 +71,17 @@ def gn_tile_lanes(cfg: DISConfig, n_patches: int, E: int, C: int,
     if cfg.gn_backend != "auto" or jax.default_backend() != "tpu":
         return 0
     K = ps + 1
+    # env is padded for the kernel's radix shift select
+    from .pallas.dis_gn import env_padded_dims
+    E2, EC2 = env_padded_dims(E, K, C)
+    env_elems = E2 * EC2
     # bf16 sampling stores env/weights/windows at half width (upcast on
     # read inside the kernel); scalar state and scratch stay fp32.
     item = 2 if cfg.dtype == "bfloat16" else 4
     # Single block when the whole batch fits (the round-1..3 criterion —
     # device-proven at the published op-2 operating points): no grid, no
     # block pipelining overhead.
-    operands = item * Pp * (E * E * C + 3 * ps * ps * C + K * K * C) \
+    operands = item * Pp * (env_elems + 3 * ps * ps * C + K * K * C) \
         + 4 * Pp * 15
     # outputs: p_cur (2, Pp) + cost_px (ps, ps*C, Pp), both fp32 — same
     # footprint the gridded per-lane estimate models below
@@ -89,7 +93,7 @@ def gn_tile_lanes(cfg: DISConfig, n_patches: int, E: int, C: int,
     # (overlapping the grid step's DMA with compute), so the per-lane
     # footprint doubles for operands and outputs; measured headroom for
     # the remaining temporaries is the same scratch term.
-    per_lane = (2 * item * (E * E * C + 3 * ps * ps * C + K * K * C)
+    per_lane = (2 * item * (env_elems + 3 * ps * ps * C + K * K * C)
                 + 2 * 4 * (ps * ps * C + 2) + 4 * 15
                 + 4 * (K * E * C + K * K * C + 3 * ps * ps * C))
     for tile in (1024, 512, 256, 128):
@@ -127,8 +131,13 @@ def _run_gn_pallas(state: "PatchState", env4, env_sy, env_sx, win1, gx_sum,
     # everything scalar stays fp32.
     samp = env4.dtype
 
+    # Pad the envelope so the kernel's radix-B band reads never run past
+    # the array (pallas.dis_gn.env_padded_dims); pad cells are selected
+    # only by out-of-range selectors, which zero the window anyway.
+    from .pallas.dis_gn import env_padded_dims
+    E2, EC2 = env_padded_dims(E, K, C)
     env_t = jnp.pad(env4.transpose(1, 3, 0, 2).reshape(E, E * C, P),
-                    ((0, 0), (0, 0), (0, Pp - P)))
+                    ((0, E2 - E), (0, EC2 - E * C), (0, Pp - P)))
     win1_t = jnp.pad(win1.reshape(P, K, K * C).astype(samp),
                      ((0, Pp - P), (0, 0), (0, 0))).transpose(1, 2, 0)
 

@@ -27,22 +27,32 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Use the one-hot MXU gather while the per-level one-hot operands stay
-# under this many bytes; beyond it fall back to vmapped dynamic_slice.
-_ONEHOT_BYTES_LIMIT = 256 * 1024 * 1024
+# Gate by a TIME model, not operand bytes: XLA fuses the iota-compare
+# one-hot generation into the MXU contraction, so the select matrices
+# never materialize in HBM — the one-hot path costs its matmul FLOPs
+# (measured ~40 TFLOP/s effective at fp32-HIGHEST incl. the row-gathered
+# intermediate's traffic), while the vmapped dynamic_slice fallback
+# serializes at ~2 us/patch.  The old 256 MB byte cap mis-routed the
+# op-3/op-4 fine scales (12.8k-51k patches) onto the serial path: at op-3
+# scale 1 the measured gather was 25.3 ms serial vs 6.6 ms one-hot.
+_ONEHOT_EFF_FLOPS = 40e12
+_SLICE_SECS_PER_PATCH = 2e-6
+# The row-gathered intermediate G = [P, K, Wp*C] DOES materialize
+# between the two stages; chunk the patch axis to bound it.
+_ONEHOT_CHUNK_BYTES = 256 * 1024 * 1024
 
 
-def _onehot_cost_bytes(n_patches: int, window: int, img_shape) -> int:
+def _onehot_flops(n_patches: int, window: int, img_shape) -> float:
     Hp, Wp, C = img_shape
-    row = n_patches * window * Hp          # [P, K, Hp]
-    col = n_patches * Wp * C * window * C  # [P, WpC, KC]
-    mid = n_patches * window * Wp * C      # row-gathered intermediate
-    return 4 * (row + col + mid)
+    rows = 2.0 * n_patches * window * Hp * Wp * C
+    cols = 2.0 * n_patches * window * Wp * C * window * C
+    return rows + cols
 
 
 def use_matmul_gather(n_patches: int, window: int, img_shape) -> bool:
-    return _onehot_cost_bytes(n_patches, window, img_shape) <= \
-        _ONEHOT_BYTES_LIMIT
+    t_onehot = _onehot_flops(n_patches, window, img_shape) / _ONEHOT_EFF_FLOPS
+    t_slice = n_patches * _SLICE_SECS_PER_PATCH
+    return t_onehot <= t_slice
 
 
 def gather_windows_matmul(img_pad: jax.Array, start_y: jax.Array,
@@ -72,6 +82,22 @@ def gather_windows_matmul(img_pad: jax.Array, start_y: jax.Array,
                        0, Hp - K)
     start_x = jnp.clip(jnp.where(start_x < 0, start_x + Wp, start_x),
                        0, Wp - K)
+
+    # Bound the materialized row-gathered intermediate [Pc, K, Wp*C] by
+    # chunking the patch axis (operating point 4's full-resolution grid is
+    # 51k patches — unchunked G would be ~8 GB).  Chunks are identical
+    # math; concat restores the full batch.
+    g_bytes_per_patch = 4 * K * Wp * C
+    max_chunk = max(1, _ONEHOT_CHUNK_BYTES // g_bytes_per_patch)
+    if P > max_chunk:
+        n_chunks = -(-P // max_chunk)
+        chunk = -(-P // n_chunks)
+        outs = [gather_windows_matmul(img_pad,
+                                      start_y[i * chunk:(i + 1) * chunk],
+                                      start_x[i * chunk:(i + 1) * chunk],
+                                      window)
+                for i in range(n_chunks)]
+        return jnp.concatenate(outs, axis=0)
 
     # Stage 1: row one-hot [P*K, Hp].
     yy = jax.lax.broadcasted_iota(jnp.int32, (P, K, Hp), 2)

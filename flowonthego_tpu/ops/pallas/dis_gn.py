@@ -48,6 +48,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Radix of the two-stage one-hot shift select in env_window.
+_SHIFT_RADIX = 4
+
+
+def env_padded_dims(E: int, K: int, C: int) -> tuple[int, int]:
+    """(rows, lanes) the packer must pad the envelope stack to so the
+    radix select's stage-1 band reads never run past the array."""
+    n_shift = E - K + 1
+    B = _SHIFT_RADIX
+    if n_shift <= B + 1:
+        return E, E * C
+    n_coarse = -(-n_shift // B)
+    reach = B * (n_coarse - 1) + K + B - 1
+    return max(E, reach), max(E, reach) * C
+
 
 def _kernel(env_ref, w3_ref, win1_ref, c_ref, s_ref, op_ref, oc_ref, *,
             n_iters: int, E: int, K: int, C: int, ps: int, padding: int,
@@ -90,23 +105,65 @@ def _kernel(env_ref, w3_ref, win1_ref, c_ref, s_ref, op_ref, oc_ref, *,
                 + w_bl * W2[1:, :psc, :] + w_br * W2[1:, C:C + psc, :])
 
     def env_window(px, py):
-        """(W2, rx, ry) for the envelope window at p = (px, py)."""
+        """(W2, rx, ry) for the envelope window at p = (px, py).
+
+        The per-lane one-hot shift select runs as a RADIX-B two-stage
+        decomposition (s = B*q + r): stage 1 selects a coarse band of
+        K+B-1 rows with ceil(n_shift/B) masked adds, stage 2 the final K
+        rows with B masked adds — ~1.7x fewer VPU flops than the flat
+        n_shift-term select at operating point 3/4 geometry (n_shift=15),
+        and bit-exact (each output element still receives exactly ONE
+        nonzero term per stage; out-of-range selectors yield all-zero
+        windows exactly as the flat form did).  env is pre-padded by the
+        packer so stage-1 bands never read past the array.
+        """
         mx = midx + px
         my = midy + py
         fx = jnp.floor(mx)
         fy = jnp.floor(my)
         oy = fy + off - env_sy     # float compare below (integral values)
         ox = fx + off - env_sx
-        # rows: W1[r, :, p] = env[oy_p + r, :, p]
-        W1 = jnp.zeros((K, env.shape[1], px.shape[1]), jnp.float32)
-        for s in range(n_shift):
-            W1 = W1 + env[s:s + K, :, :] * \
-                jnp.where(oy == float(s), 1.0, 0.0)
-        # cols: W2[r, kc, p] = W1[r, ox_p*C + kc, p]
-        W2 = jnp.zeros((K, KC, px.shape[1]), jnp.float32)
-        for s in range(n_shift):
-            W2 = W2 + W1[:, s * C:s * C + KC, :] * \
-                jnp.where(ox == float(s), 1.0, 0.0)
+        B = _SHIFT_RADIX
+        n_coarse = -(-n_shift // B)
+        P_l = px.shape[1]
+        if n_shift <= B + 1:
+            # flat select (small envelopes: radix overhead not worth it)
+            W1 = jnp.zeros((K, env.shape[1], P_l), jnp.float32)
+            for s in range(n_shift):
+                W1 = W1 + env[s:s + K, :, :] * \
+                    jnp.where(oy == float(s), 1.0, 0.0)
+            W2 = jnp.zeros((K, KC, P_l), jnp.float32)
+            for s in range(n_shift):
+                W2 = W2 + W1[:, s * C:s * C + KC, :] * \
+                    jnp.where(ox == float(s), 1.0, 0.0)
+            return W2, mx - fx, my - fy
+        inv_b = 1.0 / B
+        oy_q = jnp.floor(oy * inv_b)
+        oy_r = oy - oy_q * B
+        ox_q = jnp.floor(ox * inv_b)
+        ox_r = ox - ox_q * B
+        band = K + B - 1
+        # rows, stage 1: T1[t] = env[B*q + t], t < band
+        T1 = jnp.zeros((band, env.shape[1], P_l), jnp.float32)
+        for q in range(n_coarse):
+            T1 = T1 + env[B * q:B * q + band, :, :] * \
+                jnp.where(oy_q == float(q), 1.0, 0.0)
+        # rows, stage 2: W1[r] = T1[oy_r + r]
+        W1 = jnp.zeros((K, env.shape[1], P_l), jnp.float32)
+        for r in range(B):
+            W1 = W1 + T1[r:r + K, :, :] * \
+                jnp.where(oy_r == float(r), 1.0, 0.0)
+        # cols, stage 1: bands of (K+B-1)*C lanes
+        bandC = band * C
+        T2 = jnp.zeros((K, bandC, P_l), jnp.float32)
+        for q in range(n_coarse):
+            T2 = T2 + W1[:, B * q * C:B * q * C + bandC, :] * \
+                jnp.where(ox_q == float(q), 1.0, 0.0)
+        # cols, stage 2
+        W2 = jnp.zeros((K, KC, P_l), jnp.float32)
+        for r in range(B):
+            W2 = W2 + T2[:, r * C:r * C + KC, :] * \
+                jnp.where(ox_r == float(r), 1.0, 0.0)
         return W2, mx - fx, my - fy
 
     def cost_of(S):
@@ -217,7 +274,7 @@ def gn_scale_loop(env_t: jax.Array, w3_t: jax.Array, win1_t: jax.Array,
             kern,
             grid=(Pp // Pt,),
             out_shape=out_shape,
-            in_specs=[lane_spec((E, E * C, Pp)),
+            in_specs=[lane_spec(env_t.shape),
                       lane_spec((3, ps, ps * C, Pp)),
                       lane_spec((K, K * C, Pp)),
                       lane_spec((14, Pp)),

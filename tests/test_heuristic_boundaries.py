@@ -31,11 +31,39 @@ from flowonthego_tpu.ops import variational as var_mod
 # ------------------------------------------------------------- flip points
 
 def test_onehot_gather_flip_point():
-    img_shape = (64, 64, 3)
-    per_patch = interp_mod._onehot_cost_bytes(1, 9, img_shape)
-    p_max = interp_mod._ONEHOT_BYTES_LIMIT // per_patch
-    assert interp_mod.use_matmul_gather(p_max, 9, img_shape)
-    assert not interp_mod.use_matmul_gather(p_max + 1, 9, img_shape)
+    """The time-model gate: per-patch one-hot cost scales with the image
+    area while the serial-slice cost is constant per patch, so small
+    images go one-hot and sufficiently large ones flip to slices."""
+    small = (64, 64, 3)
+    assert interp_mod.use_matmul_gather(1000, 9, small)
+    # per-patch flop cost grows ~Hp*Wp; find the image size where the
+    # one-hot path stops paying for itself (patch count cancels)
+    flip = interp_mod._ONEHOT_EFF_FLOPS * interp_mod._SLICE_SECS_PER_PATCH
+    side = 1
+    while interp_mod._onehot_flops(1, 9, (side, side, 3)) <= flip:
+        side *= 2
+    assert not interp_mod.use_matmul_gather(1000, 9, (side, side, 3))
+    assert interp_mod.use_matmul_gather(1000, 9, (side // 2, side // 2, 3))
+    # the op-3 scale-1 geometry (the round-4 25 ms escape) must go one-hot
+    assert interp_mod.use_matmul_gather(12825, 13, (248, 536, 3))
+
+
+def test_onehot_gather_chunked_matches(rng):
+    """Chunking the patch axis (op-4 full-res grids) is bit-identical to
+    the unchunked one-hot gather."""
+    img = jnp.asarray(rng.random((40, 48, 3)).astype(np.float32))
+    P = 37
+    sy = jnp.asarray(rng.integers(0, 30, P).astype(np.int32))
+    sx = jnp.asarray(rng.integers(0, 38, P).astype(np.int32))
+    full = interp_mod.gather_windows_matmul(img, sy, sx, 9)
+    import flowonthego_tpu.ops.interp as im
+    old = im._ONEHOT_CHUNK_BYTES
+    try:
+        im._ONEHOT_CHUNK_BYTES = 4 * 9 * 48 * 3 * 8   # 8 patches/chunk
+        chunked = interp_mod.gather_windows_matmul(img, sy, sx, 9)
+    finally:
+        im._ONEHOT_CHUNK_BYTES = old
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(chunked))
 
 
 def test_envelope_flip_point():
@@ -185,10 +213,11 @@ def test_envelope_branches_agree(rng, monkeypatch):
 
 def test_onehot_gather_branches_agree(rng, monkeypatch):
     """Full optimize under forced dynamic-slice gathers equals the
-    default — flipping _ONEHOT_BYTES_LIMIT can't change results."""
+    default — flipping the gather gate can't change results."""
     cfg, grid, state, I1p = _patch_problem(rng)
     out_a = dis_mod.optimize(state, I1p, grid, cfg)
-    monkeypatch.setattr(interp_mod, "_ONEHOT_BYTES_LIMIT", 0)
+    monkeypatch.setattr(interp_mod, "use_matmul_gather",
+                        lambda *a: False)
     out_b = dis_mod.optimize(state, I1p, grid, cfg)
     np.testing.assert_allclose(np.asarray(out_a.p_cur),
                                np.asarray(out_b.p_cur),

@@ -1,6 +1,6 @@
 """Per-stage device timing via on-device chaining (amortizes tunnel RTT).
 
-Usage: python tools/profile_stages.py [width height n]
+Usage: python tools/profile_stages.py [width height n] [--op N]
 
 Note the ~25-35 ms tunnel RTT divides by the chain depth n: with the
 default n=48 the floor under every number is ~0.6 ms.  Subtract it when
@@ -52,11 +52,17 @@ N_CHAIN = 48
 
 def main():
     global N_CHAIN
-    W = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    H = int(sys.argv[2]) if len(sys.argv) > 2 else 448
-    if len(sys.argv) > 3:
-        N_CHAIN = int(sys.argv[3])
-    cfg = operating_point(2, width=W)
+    argv = list(sys.argv[1:])
+    op = 2
+    if "--op" in argv:
+        i = argv.index("--op")
+        op = int(argv[i + 1])
+        del argv[i:i + 2]
+    W = int(argv[0]) if len(argv) > 0 else 1024
+    H = int(argv[1]) if len(argv) > 1 else 448
+    if len(argv) > 2:
+        N_CHAIN = int(argv[2])
+    cfg = operating_point(op, width=W)
     print(f"config: cs={cfg.coarsest_scale} fs={cfg.finest_scale} "
           f"ps={cfg.patch_size} steps={cfg.steps} iters={cfg.grad_descent_iter}")
 
@@ -106,8 +112,8 @@ def main():
         im2c = lvl1.image[p:p + h_sl, p:p + w_sl, :]
 
         def varref(f):
-            return var_mod.variational_refine(f, im1c, im2c, cfg, sl)
-        tv = chain_time(varref, (flow,))
+            return var_mod.variational_refine_auto(f, im1c, im2c, cfg, sl)
+        tv = chain_time(varref, (flow,)) if cfg.use_var_ref else 0.0
 
         print(f"scale {sl} ({w_sl}x{h_sl}, {grid.n_patches} patches): "
               f"extract {te:7.3f}  optimize {to:7.3f}  densify {td:7.3f}  "
