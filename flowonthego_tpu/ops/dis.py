@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import DISConfig
-from .interp import blend_windows, gather_windows, sample_patches_bilinear
+from .interp import blend_windows, gather_band_pairs, gather_windows, \
+    sample_patches_bilinear
 from .patches import PatchGrid
 
 # Per-TILE VMEM budget for the fused Pallas Gauss-Newton loop: one lane
@@ -81,8 +82,8 @@ def gn_tile_lanes(cfg: DISConfig, n_patches: int, E: int, C: int,
     # Single block when the whole batch fits (the round-1..3 criterion —
     # device-proven at the published op-2 operating points): no grid, no
     # block pipelining overhead.
-    operands = item * Pp * (env_elems + 3 * ps * ps * C + K * K * C) \
-        + 4 * Pp * 15
+    operands = item * Pp * (env_elems + 3 * ps * ps * C + K * 256) \
+        + 4 * Pp * 16
     # outputs: p_cur (2, Pp) + cost_px (ps, ps*C, Pp), both fp32 — same
     # footprint the gridded per-lane estimate models below
     outputs = 4 * Pp * (ps * ps * C + 2)
@@ -93,8 +94,8 @@ def gn_tile_lanes(cfg: DISConfig, n_patches: int, E: int, C: int,
     # (overlapping the grid step's DMA with compute), so the per-lane
     # footprint doubles for operands and outputs; measured headroom for
     # the remaining temporaries is the same scratch term.
-    per_lane = (2 * item * (env_elems + 3 * ps * ps * C + K * K * C)
-                + 2 * 4 * (ps * ps * C + 2) + 4 * 15
+    per_lane = (2 * item * (env_elems + 3 * ps * ps * C + K * 256)
+                + 2 * 4 * (ps * ps * C + 2) + 4 * 16
                 + 4 * (K * E * C + K * K * C + 3 * ps * ps * C))
     for tile in (1024, 512, 256, 128):
         if tile <= Pp and tile * per_lane <= _GN_PALLAS_VMEM_LIMIT:
@@ -109,8 +110,8 @@ def use_pallas_gn(cfg: DISConfig, n_patches: int, E: int, C: int,
     return gn_tile_lanes(cfg, n_patches, E, C, ps) > 0
 
 
-def _run_gn_pallas(state: "PatchState", env4, env_sy, env_sx, win1, gx_sum,
-                   gy_sum, gxT, gyT, h00, h01, h11, det, started,
+def _run_gn_pallas(state: "PatchState", env4, env_sy, env_sx, win1b, off1,
+                   gx_sum, gy_sum, gxT, gyT, h00, h01, h11, det, started,
                    grid: PatchGrid, cfg: DISConfig, E: int, K: int, C: int,
                    mean_on: float):
     """Pack operands patches-on-lanes and run the fused scale solve.
@@ -138,7 +139,9 @@ def _run_gn_pallas(state: "PatchState", env4, env_sy, env_sx, win1, gx_sum,
     E2, EC2 = env_padded_dims(E, K, C)
     env_t = jnp.pad(env4.transpose(1, 3, 0, 2).reshape(E, E * C, P),
                     ((0, E2 - E), (0, EC2 - E * C), (0, Pp - P)))
-    win1_t = jnp.pad(win1.reshape(P, K, K * C).astype(samp),
+    # iteration-1 band pairs [P, K, 2*BAND] (interp.gather_band_pairs);
+    # the in-band lane select happens in-kernel from consts row 14
+    win1_t = jnp.pad(win1b.astype(samp),
                      ((0, Pp - P), (0, 0), (0, 0))).transpose(1, 2, 0)
 
     def pps(x):
@@ -157,7 +160,7 @@ def _run_gn_pallas(state: "PatchState", env4, env_sy, env_sx, win1, gx_sum,
         flat(state.p_org[..., 0]), flat(state.p_org[..., 1]),
         flat(gx_sum), flat(gy_sum), flat(gxT), flat(gyT),
         flat(h00), flat(h01), flat(h11), flat(det),
-        flat(env_sy), flat(env_sx)], 0)
+        flat(env_sy), flat(env_sx), flat(off1)], 0)
     # Padding lanes get det = 1 so their (discarded) updates stay finite —
     # 0 * NaN would otherwise poison the masked carry.
     consts = jnp.pad(consts, ((0, 0), (0, Pp - P)))
@@ -589,11 +592,12 @@ def optimize(state: PatchState, I1_pad: jax.Array, grid: PatchGrid,
         # materialized on this path — nothing downstream of a fixed-trip
         # l2 solve consumes it (densification weights come from cost_px).
         mid0 = state.mid_org + state.p_cur
-        win1, _, _ = gather_windows(I1_s, mid0[..., 0], mid0[..., 1], ps,
-                                    grid.padding)
+        win1b, off1, _, _ = gather_band_pairs(I1_s, mid0[..., 0],
+                                              mid0[..., 1], ps,
+                                              grid.padding)
         p_cur, cost_px = _run_gn_pallas(
-            state, env4, env_sy, env_sx, win1, gx_sum, gy_sum, gxT, gyT,
-            h00, h01, h11, det, started, grid, cfg, E, K, C, mean_on)
+            state, env4, env_sy, env_sx, win1b, off1, gx_sum, gy_sum, gxT,
+            gyT, h00, h01, h11, det, started, grid, cfg, E, K, C, mean_on)
         return state._replace(p_cur=p_cur, cost_px=cost_px,
                               diff=jnp.zeros_like(state.diff),
                               converged=jnp.ones_like(state.converged))

@@ -189,6 +189,59 @@ def sample_patches_bilinear_matmul(img_pad: jax.Array, mid_x: jax.Array,
     return out.reshape(n_h, n_w, ps, ps, C)
 
 
+_BAND = 128
+
+
+def gather_band_pairs(img_pad: jax.Array, mid_x: jax.Array,
+                      mid_y: jax.Array, patch_size: int, padding: int):
+    """Aligned-band form of the warm-start window gather for the fused
+    GN kernel: returns (bands [P, K, 2*_BAND], off [P] int32, rx, ry)
+    where the patch's K x K*C window lives at lane ``off`` of its
+    128-aligned band pair.
+
+    Rationale: XLA lowers the one-hot row gather to a ~470 GB/s gather
+    fusion, but gathering full Wp*C-wide rows moves ~6x the needed bytes
+    (measured 6.2 ms at op-3 scale 1).  Gathering 128-lane-aligned band
+    PAIRS via one row-take moves only [P, K, 256] and leaves the cheap
+    in-band lane select to the kernel's radix masked shifts (measured
+    2.5 ms; exact — jnp.take + the masked select reproduce
+    dynamic_slice-clamped windows bit-for-bit).
+    """
+    ps = patch_size
+    K = ps + 1
+    Hp, Wp, C = img_pad.shape
+    WpC = Wp * C
+    KC = K * C
+    n_h, n_w = mid_x.shape
+    P = n_h * n_w
+
+    fx = jnp.floor(mid_x)
+    fy = jnp.floor(mid_y)
+    rx = mid_x - fx
+    ry = mid_y - fy
+    start_y = (fy.astype(jnp.int32) + (padding - ps // 2)).reshape(P)
+    start_x = (fx.astype(jnp.int32) + (padding - ps // 2)).reshape(P)
+    # dynamic_slice-compatible clamp
+    start_y = jnp.clip(jnp.where(start_y < 0, start_y + Hp, start_y),
+                       0, Hp - K)
+    start_x = jnp.clip(jnp.where(start_x < 0, start_x + Wp, start_x),
+                       0, Wp - K)
+    sxC = start_x * C
+    assert _BAND >= KC, "window must fit one band step"
+
+    nb = -(-WpC // _BAND) + 1           # pad + one spare zero band
+    flat = jnp.pad(img_pad.reshape(Hp, WpC),
+                   ((0, 0), (0, nb * _BAND - WpC)))
+    rows2d = flat.reshape(Hp * nb, _BAND)
+    b = sxC // _BAND
+    off = sxC - b * _BAND
+    ridx = ((start_y[:, None] + jnp.arange(K)[None, :])[:, :, None] * nb
+            + b[:, None, None] + jnp.arange(2)[None, None, :])
+    bands = jnp.take(rows2d, ridx.reshape(-1), axis=0).reshape(
+        P, K, 2 * _BAND)
+    return bands, off, rx, ry
+
+
 def gather_windows(img_pad: jax.Array, mid_x: jax.Array, mid_y: jax.Array,
                    patch_size: int, padding: int):
     """(ps+1)x(ps+1) windows + bilinear fractions for float midpoints.

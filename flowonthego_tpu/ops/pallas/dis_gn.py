@@ -68,8 +68,9 @@ def _kernel(env_ref, w3_ref, win1_ref, c_ref, s_ref, op_ref, oc_ref, *,
             n_iters: int, E: int, K: int, C: int, ps: int, padding: int,
             thresh: float, l_bound: float, ub_w: float, ub_h: float,
             mean_on: float, n_vals: float):
-    # consts [14, P]: midx, midy, p0x, p0y, gx_sum, gy_sum, gxT, gyT,
-    #                 h00, h01, h11, det, env start sy, env start sx
+    # consts [15, P]: midx, midy, p0x, p0y, gx_sum, gy_sum, gxT, gyT,
+    #                 h00, h01, h11, det, env start sy, env start sx,
+    #                 win1 in-band lane offset (0..BAND-1)
     midx = c_ref[0:1, :]
     midy = c_ref[1:2, :]
     p0x = c_ref[2:3, :]
@@ -84,12 +85,13 @@ def _kernel(env_ref, w3_ref, win1_ref, c_ref, s_ref, op_ref, oc_ref, *,
     det = c_ref[11:12, :]
     env_sy = c_ref[12:13, :]
     env_sx = c_ref[13:14, :]
+    off1 = c_ref[14:15, :]
 
     # bf16 sampling mode stores env/w3/win1 at half width in VMEM (the
     # operands dominate the kernel's footprint); all arithmetic is fp32.
     env = env_ref[:].astype(jnp.float32)    # [E, EC, P]
     w3 = w3_ref[:].astype(jnp.float32)      # [3, ps, ps*C, P]: T, gx, gy
-    win1 = win1_ref[:].astype(jnp.float32)  # [K, KC, P]
+    win1 = win1_ref[:].astype(jnp.float32)  # [K, 2*BAND, P] band pair
     KC = K * C
     psc = ps * C
     n_shift = E - K + 1
@@ -198,12 +200,27 @@ def _kernel(env_ref, w3_ref, win1_ref, c_ref, s_ref, op_ref, oc_ref, *,
 
     started = s_ref[0:1, :]
 
-    # --- iteration 1: blend the pre-gathered whole-image windows at the
-    # warm start p_org; capture its per-pixel cost (the final cost of any
-    # patch that later trips the outlier reset back to p_org) ---
+    # --- iteration 1: select the K x KC window from the pre-gathered
+    # 2*BAND-lane band pair at the per-patch lane offset (radix two-stage
+    # masked shifts, exact), then blend at the warm start p_org; capture
+    # its per-pixel cost (the final cost of any patch that later trips
+    # the outlier reset back to p_org) ---
+    B1 = 16
+    n_q = (win1.shape[1] // 2) // B1          # BAND / 16 coarse options
+    span = KC + B1 - 1
+    oq = jnp.floor(off1 * (1.0 / B1))
+    orr = off1 - oq * B1
+    T1w = jnp.zeros((K, span, win1.shape[2]), jnp.float32)
+    for q in range(n_q):
+        T1w = T1w + win1[:, B1 * q:B1 * q + span, :] * \
+            jnp.where(oq == float(q), 1.0, 0.0)
+    Wk1 = jnp.zeros((K, KC, win1.shape[2]), jnp.float32)
+    for r in range(B1):
+        Wk1 = Wk1 + T1w[:, r:r + KC, :] * \
+            jnp.where(orr == float(r), 1.0, 0.0)
     mx1 = midx + p0x
     my1 = midy + p0y
-    S1 = blend(win1, mx1 - jnp.floor(mx1), my1 - jnp.floor(my1))
+    S1 = blend(Wk1, mx1 - jnp.floor(mx1), my1 - jnp.floor(my1))
     cost1 = cost_of(S1)
     px, py, act = project(p0x, p0y, started, S1)
 
@@ -240,8 +257,10 @@ def gn_scale_loop(env_t: jax.Array, w3_t: jax.Array, win1_t: jax.Array,
 
     env_t:  [E, E*C, Pp] envelope stack (patches on lanes, Pp % 128 == 0)
     w3_t:   [3, ps, ps*C, Pp] weight stack (template, gx, gy)
-    win1_t: [K, K*C, Pp] iteration-1 windows (gathered at p_org outside)
-    consts: [14, Pp] per-patch constants (see kernel)
+    win1_t: [K, 2*BAND, Pp] iteration-1 aligned band pairs (row-take at
+      p_org outside — interp.gather_band_pairs; the in-band lane select
+      happens in-kernel from consts row 14)
+    consts: [15, Pp] per-patch constants (see kernel)
     started: [1, Pp] 1.0 where the patch was not frozen at warm start
     n_iters: envelope iterations to run (= grad_descent_iter - 1)
     tile_lanes: if > 0, run a 1-D grid over patch tiles of this many
@@ -276,8 +295,8 @@ def gn_scale_loop(env_t: jax.Array, w3_t: jax.Array, win1_t: jax.Array,
             out_shape=out_shape,
             in_specs=[lane_spec(env_t.shape),
                       lane_spec((3, ps, ps * C, Pp)),
-                      lane_spec((K, K * C, Pp)),
-                      lane_spec((14, Pp)),
+                      lane_spec(win1_t.shape),
+                      lane_spec((15, Pp)),
                       lane_spec((1, Pp))],
             out_specs=(lane_spec((2, Pp)),
                        lane_spec((ps, ps * C, Pp))),

@@ -224,7 +224,9 @@ def _kernel(wx_ref, wy_ref, mask_ref, dIs_ref, uu_ref, vv_ref, *,
 def _warp_and_derivs(flow, im1, im2, cfg):
     wx = flow[..., 0].astype(jnp.float32)
     wy = flow[..., 1].astype(jnp.float32)
-    w_im2, mask = warp_image(im2, wx, wy)
+    # densified flow is a convex combination of reset-bounded patch
+    # flows -> |flow| <= outlier_thresh, which unlocks the banded warp
+    w_im2, mask = warp_image(im2, wx, wy, flow_bound=cfg.outlier_thresh)
     d = get_derivatives(im1, w_im2)
     # [8, C, h, w]
     dIs = jnp.stack([jnp.moveaxis(x, -1, 0) for x in

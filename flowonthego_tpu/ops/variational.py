@@ -218,7 +218,8 @@ def _onehot_rows_matmul(onehot, flat):
 
 
 def warp_image(src: jax.Array, wx: jax.Array, wy: jax.Array,
-               force_onehot: bool | None = None):
+               force_onehot: bool | None = None,
+               flow_bound: float | None = None):
     """Backward-warp ``src`` [H, W, C] by flow (wx, wy) [H, W].
 
     Bilinear with per-tap clamping + in-bounds mask, matching
@@ -235,6 +236,11 @@ def warp_image(src: jax.Array, wx: jax.Array, wy: jax.Array,
     corner sum by at most 1 ulp per pixel (pure fp reordering).
 
     ``force_onehot`` overrides the backend/size gate (for tests).
+    ``flow_bound``: a guaranteed |flow| bound (the var-ref call sites
+    pass cfg.outlier_thresh — densified flow is a convex combination of
+    reset-bounded patch flows).  Fields too large for the one-hot form
+    then use the banded Pallas stencil (ops/pallas/warp.py) instead of
+    the pathological XLA pixel gather (~2.6 ms at op-3 scale 1).
     """
     h, w = src.shape[:2]
     C = src.shape[2]
@@ -245,6 +251,11 @@ def warp_image(src: jax.Array, wx: jax.Array, wy: jax.Array,
                   and P * h * w * C <= _WARP_ONEHOT_MAX_MACS)
     if force_onehot is not None:
         use_onehot = force_onehot
+    if (not use_onehot and flow_bound is not None
+            and force_onehot is None
+            and jax.default_backend() == "tpu" and flow_bound <= 64):
+        from .pallas.warp import warp_image_banded
+        return warp_image_banded(src, wx, wy, flow_bound)
     if use_onehot:
         flat = src.reshape(h, w * C)
         oh1 = (jax.lax.broadcasted_iota(jnp.int32, (P, h), 1)
@@ -472,7 +483,9 @@ def variational_refine(flow: jax.Array, im1: jax.Array, im2: jax.Array,
 
     wx = flow[..., 0]
     wy = flow[..., 1]
-    w_im2, mask = warp_image(im2, wx, wy)
+    # densified flow is a convex combination of reset-bounded patch
+    # flows -> |flow| <= outlier_thresh, which unlocks the banded warp
+    w_im2, mask = warp_image(im2, wx, wy, flow_bound=cfg.outlier_thresh)
     d = get_derivatives(im1, w_im2)
 
     du = jnp.zeros_like(wx)

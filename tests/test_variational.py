@@ -191,3 +191,31 @@ def test_warp_onehot_matches_gather(rng):
         ref_w, _ = warp_image(src, wxi, wyi, force_onehot=False)
         got_w, _ = warp_image(src, wxi, wyi, force_onehot=True)
         np.testing.assert_array_equal(np.asarray(got_w), np.asarray(ref_w))
+
+
+def test_warp_banded_matches_gather(rng):
+    """Banded Pallas warp == the 4-corner gather warp for bounded flows
+    (the var-ref precondition: |flow| <= outlier_thresh), including
+    border clamping and ragged row tiles."""
+    from flowonthego_tpu.ops.pallas.warp import warp_image_banded
+    from flowonthego_tpu.ops.variational import warp_image
+    for h, w, bound in ((60, 96, 6.0), (37, 64, 4.0)):
+        src = jnp.asarray(rng.random((h, w, 3)).astype(np.float32) * 255)
+        wx = jnp.asarray(((rng.random((h, w)) * 2 - 1) * bound)
+                         .astype(np.float32))
+        wy = jnp.asarray(((rng.random((h, w)) * 2 - 1) * bound)
+                         .astype(np.float32))
+        ref_w, ref_m = warp_image(src, wx, wy, force_onehot=False)
+        got_w, got_m = warp_image_banded(src, wx, wy, bound, tile_rows=32,
+                                         interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m))
+        # rows-then-cols association vs the 4-term corner sum: <=1-2 ulp
+        np.testing.assert_allclose(np.asarray(got_w), np.asarray(ref_w),
+                                   rtol=0, atol=1e-3)
+        # integer flows must be exact (single-tap selects)
+        wxi = jnp.round(wx)
+        wyi = jnp.round(wy)
+        ref_i, _ = warp_image(src, wxi, wyi, force_onehot=False)
+        got_i, _ = warp_image_banded(src, wxi, wyi, bound, tile_rows=32,
+                                     interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
