@@ -215,31 +215,17 @@ def _densify_strip(state: dis_mod.PatchState, grid: PatchGrid, cfg,
     v = state.p_cur[..., 1][..., None, None]
     contrib = jnp.stack([absw, absw * u, absw * v], axis=-1)
 
-    # Parity split via pad + reshape + static index (densify.parity_groups
-    # — stride-r slices lower to a gather kernel that crashes the TPU
-    # worker at op-3 geometry).  Uniform [g_h, g_w] block shape per group;
-    # padded slots contribute zeros.
-    cgrid = densify_mod.parity_groups(contrib, r)
-    g_h, g_w = cgrid.shape[0], cgrid.shape[2]
-    rows_canvas = g_h * R + R
-    # column overhang slack: the uniform g_w can exceed the per-group
-    # stride-slice width by one R-block of zeros
-    acc = jnp.zeros((hl + 2 * margin + rows_canvas, w + 2 * margin + R, 3),
+    # Periodic overlap-add (densify.overlap_add_canvas — no stride-r
+    # slices, no per-parity transposes), then ONE dynamic placement at
+    # the strip's base row.
+    canvas = densify_mod.overlap_add_canvas(contrib, ps, st)
+    Yp, Xp = canvas.shape[0], canvas.shape[1]
+    acc = jnp.zeros((hl + 2 * margin + Yp, w + 2 * margin + Xp, 3),
                     contrib.dtype)
-    for a in range(r):
-        for b in range(r):
-            blocks = cgrid[:, a, :, b]
-            blocks = jnp.pad(blocks, ((0, 0), (0, 0), (0, R - ps),
-                                      (0, R - ps), (0, 0)))
-            canvas = blocks.transpose(0, 2, 1, 3, 4).reshape(
-                g_h * R, g_w * R, 3)
-            # canvas row 0 = patch slot `a`'s top = base_row + a*st - ps/2
-            top = base_row + a * st - ps // 2 + margin
-            left = margin + grid.offset_w - ps // 2 + b * st
-            assert left >= 0 and left + g_w * R <= w + 2 * margin + R
-            placed = lax.dynamic_update_slice(
-                jnp.zeros_like(acc), canvas, (top, left, 0))
-            acc = acc + placed
+    top = base_row - ps // 2 + margin
+    left = margin + grid.offset_w - ps // 2
+    assert left >= 0
+    acc = lax.dynamic_update_slice(acc, canvas, (top, left, 0))
     # crop the static canvas overhang, keep [hl + 2*margin] rows
     acc = acc[:hl + 2 * margin, :w + 2 * margin]
     acc = exchange_accumulate_rows(acc, margin, axis)

@@ -223,28 +223,16 @@ def _densify_tile(state: dis_mod.PatchState, grid: PatchGrid, cfg,
     v = state.p_cur[..., 1][..., None, None]
     contrib = jnp.stack([absw, absw * u, absw * v], axis=-1)
 
-    # Parity split via pad + reshape + static index (densify.parity_groups
-    # — stride-r slices lower to a gather kernel that crashes the TPU
-    # worker at op-3 geometry).  Uniform [g_h, g_w] block shape per group;
-    # padded slots contribute zeros.
-    cgrid = densify_mod.parity_groups(contrib, r)
-    g_h, g_w = cgrid.shape[0], cgrid.shape[2]
-    over_r = g_h * R + R
-    over_c = g_w * R + R
-    acc = jnp.zeros((hl + 2 * margin + over_r, wl + 2 * margin + over_c, 3),
+    # Periodic overlap-add (densify.overlap_add_canvas — no stride-r
+    # slices, no per-parity transposes), then ONE dynamic placement at
+    # the tile's base position.
+    canvas = densify_mod.overlap_add_canvas(contrib, ps, st)
+    Yp, Xp = canvas.shape[0], canvas.shape[1]
+    acc = jnp.zeros((hl + 2 * margin + Yp, wl + 2 * margin + Xp, 3),
                     contrib.dtype)
-    for a in range(r):
-        for b in range(r):
-            blocks = cgrid[:, a, :, b]
-            blocks = jnp.pad(blocks, ((0, 0), (0, 0), (0, R - ps),
-                                      (0, R - ps), (0, 0)))
-            canvas = blocks.transpose(0, 2, 1, 3, 4).reshape(
-                g_h * R, g_w * R, 3)
-            top = base_row + a * st - ps // 2 + margin
-            left = base_col + b * st - ps // 2 + margin
-            placed = lax.dynamic_update_slice(
-                jnp.zeros_like(acc), canvas, (top, left, 0))
-            acc = acc + placed
+    top = base_row - ps // 2 + margin
+    left = base_col - ps // 2 + margin
+    acc = lax.dynamic_update_slice(acc, canvas, (top, left, 0))
     acc = acc[:hl + 2 * margin, :wl + 2 * margin]
     acc = exchange_accumulate_rows(acc, margin, ROW_AXIS)
     acc = exchange_accumulate_cols(acc, margin, COL_AXIS)
