@@ -46,7 +46,7 @@ def chain_timer(step, args, n=48, trials=5):
     return times[len(times) // 2] * 1e3
 
 
-def stream_chain_timer(H, W, cfg, frame_flat, n=64, trials=5):
+def stream_chain_timer(H, W, cfg, frame_flat, n=192, trials=3):
     """Per-frame device time of STREAMED video flow.
 
     Chains n frames through the streaming step: each iteration ingests a

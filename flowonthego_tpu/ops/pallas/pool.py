@@ -64,7 +64,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BW = 768
+# Block sweep (4K L0, round 5): (64,768) 0.20 ms, (64,1536) 0.13,
+# (64,2304) 0.09 — the kernel is VPU/issue-bound (bf16x3 splits + iota
+# matrix generation scale with data, but per-block fixed cost does not),
+# so wider blocks win; (256,*) blows Mosaic's scoped-VMEM stack.
+_BW = 2304
 _BR = 64
 
 

@@ -47,7 +47,9 @@ def test_pool2x2_flat_ragged_width_and_bias(rng):
     (no host-visible pad/slice), and the fused ingest bias is
     bit-identical to adding the scalar before pooling."""
     from flowonthego_tpu.ops.pallas.pool import pool2x2_flat, _BW
-    h, w, C = 40, 322, 3          # flat width 966: one full + one ragged block
+    # flat width: one full + one ragged block, whatever _BW is
+    h, C = 40, 3
+    w = 2 * ((_BW + _BW // 2) // (2 * C))
     assert (w * C) % _BW != 0 and w * C > _BW
     x = jnp.asarray(rng.random((h, w * C)).astype(np.float32) * 255)
     ref = np.asarray(
