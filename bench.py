@@ -220,14 +220,14 @@ def run_extra_task(name: str) -> float:
         Hr, Wr = Rp.shape[:2]
         return stream_chain_timer(Hr, Wr, cfg_hd,
                                   jnp.asarray(Rp.reshape(Hr, -1)),
-                                  n=32, trials=3)
+                                  n=192, trials=3)
     if name == "4streams":
         cfg1 = operating_point(2, width=1024)
         Ap, _, _, _ = _sintel_padded(cfg1)
         H1, W1 = Ap.shape[:2]
         return multi_stream_chain_timer(H1, W1, cfg1,
                                         jnp.asarray(Ap.reshape(H1, -1)),
-                                        n_streams=4, n=32, trials=3)
+                                        n_streams=4, n=96, trials=3)
     if name == "4k_u8":
         # uint8 ingest (deployment video frames; the reference converts
         # at load, run_dense.cpp:137-145): the first pool upcasts in-VMEM
@@ -242,7 +242,7 @@ def run_extra_task(name: str) -> float:
             np.uint8)
         return stream_chain_timer(H4, W4, cfg4,
                                   jnp.asarray(frame.reshape(H4, -1)),
-                                  n=64, trials=3)
+                                  n=192, trials=3)
     raise ValueError(name)
 
 

@@ -40,6 +40,8 @@ def _sequences(rng, n_streams):
     return seqs
 
 
+@pytest.mark.slow    # the 8-device dryrun asserts exactly this
+# equivalence every driver round (program 4); kept as a slow regression
 def test_multistream_matches_sequential_streams(rng):
     mesh = make_mesh(n_data=8, n_space=1)
     seqs = _sequences(rng, 8)

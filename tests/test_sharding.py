@@ -78,6 +78,7 @@ def test_exchange_accumulate_matches_dense_overlap_add(rng):
     np.testing.assert_allclose(out, dense, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single(rng):
     cfg = DISConfig(coarsest_scale=3, finest_scale=1, use_var_ref=True,
                     grad_descent_iter=8)
@@ -96,6 +97,7 @@ def test_data_parallel_matches_single(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_spatial_matches_single(rng):
     cfg = DISConfig(coarsest_scale=4, finest_scale=2, use_var_ref=True,
                     grad_descent_iter=8)

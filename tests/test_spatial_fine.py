@@ -37,7 +37,11 @@ def test_displacement_bound_and_level_selection():
     assert 1 in levels
 
 
-@pytest.mark.parametrize("use_var_ref", [False, True])
+@pytest.mark.parametrize("use_var_ref", [
+    pytest.param(False, marks=pytest.mark.slow),  # the capability-matrix
+    # tests exercise the sharded no-varref paths at the same geometry
+    True,
+])
 def test_fine_sharded_matches_single(rng, use_var_ref):
     cfg = DISConfig(patch_size=8, patch_stride=0.4, coarsest_scale=3,
                     finest_scale=1, grad_descent_iter=8,
@@ -60,7 +64,7 @@ def test_fine_sharded_matches_single(rng, use_var_ref):
     np.testing.assert_allclose(sharded, full, rtol=1e-3, atol=1e-3)
 
 
-@pytest.mark.parametrize("mode", ["fb", "l1", "huber", "res_thresh"])
+@pytest.mark.parametrize("mode", ["fb", "l1_res", "huber"])
 def test_fine_sharded_capability_matrix(rng, mode):
     """fb-consistency / robust costs / res_thresh>0 run sharded and match
     the unsharded pipeline (the reference composes all of these freely,
@@ -69,7 +73,11 @@ def test_fine_sharded_capability_matrix(rng, mode):
               finest_scale=1, grad_descent_iter=8, use_var_ref=False)
     if mode == "fb":
         kw["use_fb_consistency"] = True
-    elif mode == "res_thresh":
+    elif mode == "l1_res":
+        # one compile covers both reference-form branches: robust L1 cost
+        # AND the res_thresh early-exit clause (they compose freely,
+        # kroeger/oflow.cpp:162-296)
+        kw["cost_fn"] = "l1"
         kw["res_thresh"] = 10.0
     else:
         kw["cost_fn"] = mode

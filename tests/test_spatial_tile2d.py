@@ -52,18 +52,23 @@ def _check(mesh_shape, cfg, H, W, rng):
         f"{mesh_shape}: q50={q50:.2e} q95={q95:.2e} max={float(d.max()):.3f}"
 
 
-@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+@pytest.mark.parametrize("mesh_shape", [
+    (2, 4),
+    pytest.param((4, 2), marks=pytest.mark.slow),   # transposed mesh: same
+    # code paths as (2, 4) with swapped axis roles; kept as a slow-suite
+    # regression
+])
 def test_tile2d_matches_unsharded(mesh_shape, rng):
     cfg = DISConfig(coarsest_scale=3, finest_scale=1, grad_descent_iter=8,
                     use_var_ref=True)
     n_r, n_c = mesh_shape
-    _check(mesh_shape, cfg, H=80 * n_r * 2, W=80 * n_c * 2, rng=rng)
+    _check(mesh_shape, cfg, H=80 * n_r, W=80 * n_c, rng=rng)
 
 
 def test_tile2d_without_varref(rng):
     cfg = DISConfig(coarsest_scale=3, finest_scale=1, grad_descent_iter=8,
                     use_var_ref=False)
-    _check((2, 4), cfg, H=80 * 4, W=80 * 8, rng=rng)
+    _check((2, 4), cfg, H=48 * 2, W=48 * 4, rng=rng)
 
 
 def test_tile2d_fb_consistency(rng):
@@ -72,9 +77,10 @@ def test_tile2d_fb_consistency(rng):
     four neighbors (_fb_merge_tile)."""
     cfg = DISConfig(coarsest_scale=3, finest_scale=1, grad_descent_iter=8,
                     use_var_ref=True, use_fb_consistency=True)
-    _check((2, 4), cfg, H=80 * 4, W=80 * 8, rng=rng)
+    _check((2, 4), cfg, H=80 * 2, W=80 * 4, rng=rng)
 
 
+@pytest.mark.slow
 def test_tile2d_fb_changes_result(rng):
     """fb merge must actually contribute (guards against a silently
     dropped backward accumulator)."""

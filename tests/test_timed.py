@@ -6,6 +6,7 @@ src/patchgrid.cpp:334-345 (printTimings aggregates).
 """
 
 import numpy as np
+import pytest
 
 from flowonthego_tpu.config import DISConfig
 from flowonthego_tpu.models.dis_flow import compute_flow, compute_flow_timed
@@ -18,6 +19,8 @@ def _smooth_pair(rng, h, w):
     return I0, np.roll(I0, 2, axis=1)
 
 
+@pytest.mark.slow    # the timed path is exercised at CLI verbosity 2;
+# the numerical-equality regression runs in the slow suite
 def test_timed_output_matches_fast_path(rng):
     I0, I1 = _smooth_pair(rng, 48, 64)
     cfg = DISConfig(coarsest_scale=2, finest_scale=1, grad_descent_iter=4,
