@@ -145,14 +145,20 @@ def test_gn_pallas_tile_selection(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
     def per_lane(ps, E, C=3):
-        # the gridded path's conservative (double-buffered) footprint
+        # the gridded path's conservative (double-buffered) footprint:
+        # radix-padded envelope + [K, 2*BAND] iteration-1 band pair +
+        # 16 const/started rows (mirrors ops/dis.gn_tile_lanes)
+        from flowonthego_tpu.ops.pallas.dis_gn import env_padded_dims
         K = ps + 1
-        return (2 * 4 * (E * E * C + 3 * ps * ps * C + K * K * C)
-                + 8 * (ps * ps * C + 2) + 60
+        E2, EC2 = env_padded_dims(E, K, C)
+        return (2 * 4 * (E2 * EC2 + 3 * ps * ps * C + K * 256)
+                + 8 * (ps * ps * C + 2) + 64
                 + 4 * (K * E * C + K * K * C + 3 * ps * ps * C))
 
-    # a small op-2-sized batch keeps the device-proven single-block form
-    assert dis_mod.gn_tile_lanes(cfg, 448, 19, 3, 8) == 512
+    # op-2-sized batches (448 patches -> Pp=512) breach the single-block
+    # budget since the band-pair iteration-1 operand landed; the model
+    # grids them at the largest tile honoring the double-buffer budget
+    assert dis_mod.gn_tile_lanes(cfg, 448, 19, 3, 8) == 256
     # large batches grid with a tile that honors the double-buffer budget
     for ps, E in ((8, 19), (12, 27)):
         t = dis_mod.gn_tile_lanes(cfg, 50_000, E, 3, ps)

@@ -62,8 +62,8 @@ out = jax.jit(step)(I0, I1)
 # return even though the program wedged/faulted — only a device-to-host
 # read proves the program ran (round-4 finding).
 val = float(jnp.mean(jnp.abs(out)))
-assert np.isfinite(val), f"non-finite output mean {val}"
-print(f"MEAN {val:.6f}", flush=True)
+assert np.isfinite(val), f"non-finite output mean {{val}}"
+print(f"MEAN {{val:.6f}}", flush=True)
 """
 
 
