@@ -42,5 +42,8 @@ def enable_compile_cache(base: str | None = None) -> str:
     path = os.path.join(base, machine_key())
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # 0.1 s: the suite's mid-size programs (per-scale solves, resize
+    # forms, oracle helpers) compile in 0.1-0.5 s each; at the default
+    # 0.5 s threshold they are recompiled by every process.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     return path

@@ -6,6 +6,16 @@ import jax.numpy as jnp
 import pytest
 
 from flowonthego_tpu.config import DISConfig
+
+
+def _jit_optimize(state, I1, grid, cfg):
+    """One compiled program per scale-solve instead of eager op-by-op
+    dispatch (each eager op is too small for the persistent compile
+    cache; the jitted form is cached across processes)."""
+    import jax
+    return jax.jit(lambda st, im: dis_mod.optimize(st, im, grid, cfg))(
+        state, I1)
+
 from flowonthego_tpu.ops import dis as dis_mod
 from flowonthego_tpu.ops.patches import PatchGrid, extract_templates_and_hessians
 from flowonthego_tpu.ops.pyramid import pad_replicate, pad_constant, central_diff
@@ -36,7 +46,7 @@ def test_robust_costs_recover_translation(rng, cost_fn):
     cfg = DISConfig(patch_size=8, patch_stride=0.4, grad_descent_iter=24,
                     cost_fn=cost_fn)
     state, I1, grid = _setup(img0, img1, cfg)
-    state = dis_mod.optimize(state, I1, grid, cfg)
+    state = _jit_optimize(state, I1, grid, cfg)
     p = np.asarray(state.p_cur)
     med = np.median(p[2:-2, 2:-2].reshape(-1, 2), axis=0)
     np.testing.assert_allclose(med, [1.0, 2.0], atol=0.1)

@@ -4,6 +4,16 @@ import numpy as np
 import jax.numpy as jnp
 
 from flowonthego_tpu.config import DISConfig
+
+
+def _jit_optimize(state, I1, grid, cfg):
+    """One compiled program per scale-solve instead of eager op-by-op
+    dispatch (each eager op is too small for the persistent compile
+    cache; the jitted form is cached across processes)."""
+    import jax
+    return jax.jit(lambda st, im: dis_mod.optimize(st, im, grid, cfg))(
+        state, I1)
+
 from flowonthego_tpu.ops import dis as dis_mod
 from flowonthego_tpu.ops.densify import densify
 from flowonthego_tpu.ops.patches import PatchGrid, extract_templates_and_hessians
@@ -40,7 +50,7 @@ def test_recovers_integer_translation(rng):
     img1 = base[4 - 2:4 - 2 + h, 4 - 1:4 - 1 + w]  # I1(x) = I0(x - (1, 2))
     # flow I0 -> I1 is (+1, +2)
     state, I1, grid = _setup(img0, img1, cfg)
-    state = dis_mod.optimize(state, I1, grid, cfg)
+    state = _jit_optimize(state, I1, grid, cfg)
     p = np.asarray(state.p_cur)
     inner = p[2:-2, 2:-2]  # ignore patches touching the border
     med = np.median(inner.reshape(-1, 2), axis=0)
@@ -58,7 +68,7 @@ def test_recovers_subpixel_translation(rng):
     img1 = ((np.sin((xx - shift) * 0.3) + np.cos(yy * 0.22))[..., None]
             .repeat(3, axis=2).astype(np.float32) * 40 + 128)[4:4 + h, 4:4 + w]
     state, I1, grid = _setup(img0, img1, cfg)
-    state = dis_mod.optimize(state, I1, grid, cfg)
+    state = _jit_optimize(state, I1, grid, cfg)
     p = np.asarray(state.p_cur)
     med = np.median(p[1:-1, 1:-1].reshape(-1, 2), axis=0)
     np.testing.assert_allclose(med, [shift, 0.0], atol=0.05)
@@ -71,7 +81,7 @@ def test_outlier_reset_restores_org(rng):
     img0 = _smooth_noise(rng, h, w)
     img1 = np.asarray(_smooth_noise(np.random.default_rng(1), h, w))
     state, I1, grid = _setup(img0, img1, cfg)
-    state = dis_mod.optimize(state, I1, grid, cfg)
+    state = _jit_optimize(state, I1, grid, cfg)
     p = np.asarray(state.p_cur)
     # All flows respect the outlier threshold relative to the (zero) init.
     assert (np.sqrt((p ** 2).sum(-1)) <= cfg.outlier_thresh + 1e-4).all()

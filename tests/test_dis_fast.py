@@ -8,6 +8,16 @@ import numpy as np
 import jax.numpy as jnp
 
 from flowonthego_tpu.config import DISConfig
+
+
+def _jit_optimize(state, I1, grid, cfg):
+    """One compiled program per scale-solve instead of eager op-by-op
+    dispatch (each eager op is too small for the persistent compile
+    cache; the jitted form is cached across processes)."""
+    import jax
+    return jax.jit(lambda st, im: dis_mod.optimize(st, im, grid, cfg))(
+        state, I1)
+
 from flowonthego_tpu.ops import dis as dis_mod
 from flowonthego_tpu.ops.patches import PatchGrid, extract_templates_and_hessians
 from flowonthego_tpu.ops.pyramid import pad_replicate, pad_constant, central_diff
@@ -40,7 +50,7 @@ def test_fast_matches_reference_zero_init(rng):
     state, I1, grid = _setup(img0, img1, cfg)
 
     ref = dis_mod.optimize_reference(state, I1, grid, cfg)
-    fast = dis_mod.optimize(state, I1, grid, cfg)
+    fast = _jit_optimize(state, I1, grid, cfg)
 
     np.testing.assert_allclose(np.asarray(fast.p_cur), np.asarray(ref.p_cur),
                                rtol=1e-3, atol=2e-3)
@@ -57,7 +67,7 @@ def test_fast_matches_reference_coarse_init(rng):
     state = dis_mod.init_from_coarser(state, jnp.asarray(coarse), grid)
 
     ref = dis_mod.optimize_reference(state, I1, grid, cfg)
-    fast = dis_mod.optimize(state, I1, grid, cfg)
+    fast = _jit_optimize(state, I1, grid, cfg)
 
     np.testing.assert_allclose(np.asarray(fast.p_cur), np.asarray(ref.p_cur),
                                rtol=1e-3, atol=2e-3)
@@ -74,7 +84,7 @@ def test_fast_mean_norm_off(rng):
     img0, img1 = _images(rng, 32, 32)
     state, I1, grid = _setup(img0, img1, cfg)
     ref = dis_mod.optimize_reference(state, I1, grid, cfg)
-    fast = dis_mod.optimize(state, I1, grid, cfg)
+    fast = _jit_optimize(state, I1, grid, cfg)
     np.testing.assert_allclose(np.asarray(fast.p_cur), np.asarray(ref.p_cur),
                                rtol=1e-3, atol=2e-3)
 
@@ -100,7 +110,7 @@ def test_min_iter_dp_clause_stops_after_first_iter(rng):
                     min_iter=1, dp_thresh=1e10)
     img0, img1 = _images(rng, 40, 56)
     state, I1, grid = _setup(img0, img1, cfg)
-    early = dis_mod.optimize(state, I1, grid, cfg)
+    early = _jit_optimize(state, I1, grid, cfg)
     cfg_one = dataclasses.replace(cfg, grad_descent_iter=1, min_iter=None,
                                   dp_thresh=0.0025)
     one = dis_mod.optimize_reference(state, I1, grid, cfg_one)
@@ -115,7 +125,7 @@ def test_min_iter_disabled_clauses_match_fixed_trip(rng):
                     min_iter=1, dp_thresh=0.0, dr_thresh=1e10)
     img0, img1 = _images(rng, 40, 56)
     state, I1, grid = _setup(img0, img1, cfg)
-    a = dis_mod.optimize(state, I1, grid, cfg)
+    a = _jit_optimize(state, I1, grid, cfg)
     cfg_fixed = DISConfig(patch_size=8, patch_stride=0.4,
                           grad_descent_iter=12)
     b = dis_mod.optimize_reference(state, I1, grid, cfg_fixed)
@@ -131,7 +141,7 @@ def test_min_iter_dr_clause_freezes_nonimproving(rng):
                     min_iter=1, dr_thresh=0.0)
     img0, img1 = _images(rng, 40, 56)
     state, I1, grid = _setup(img0, img1, cfg)
-    early = dis_mod.optimize(state, I1, grid, cfg)
+    early = _jit_optimize(state, I1, grid, cfg)
     one = dis_mod.optimize_reference(
         state, I1, grid, DISConfig(patch_size=8, patch_stride=0.4,
                                    grad_descent_iter=1))

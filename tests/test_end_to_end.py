@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import pytest
 
 from flowonthego_tpu import DISConfig, compute_flow, average_epe
-from flowonthego_tpu.models.dis_flow import dis_flow_padded
+from flowonthego_tpu.models.dis_flow import dis_flow_padded_jit
 
 
 def test_synthetic_translation_full_pipeline(rng):
@@ -33,7 +33,7 @@ def test_synthetic_translation_full_pipeline(rng):
 def test_finest_scale_output_resolution(rng):
     img = (rng.random((64, 64, 3)) * 255).astype(np.float32)
     cfg = DISConfig(coarsest_scale=3, finest_scale=2, use_var_ref=False)
-    flow = dis_flow_padded(jnp.asarray(img), jnp.asarray(img), cfg)
+    flow = dis_flow_padded_jit(jnp.asarray(img), jnp.asarray(img), cfg)
     assert flow.shape == (16, 16, 2)
     # identical frames -> (near-)zero flow
     assert np.abs(np.asarray(flow)).max() < 1e-3

@@ -7,7 +7,7 @@ from flowonthego_tpu.config import DISConfig
 from flowonthego_tpu.ops.densify import densify, _fb_merge_scatter
 from flowonthego_tpu.ops.dis import PatchState
 from flowonthego_tpu.ops.patches import PatchGrid
-from flowonthego_tpu.models.dis_flow import dis_flow_padded
+from flowonthego_tpu.models.dis_flow import dis_flow_padded_jit
 
 
 def _state(grid, cost_px, p_cur):
@@ -80,7 +80,7 @@ def test_fb_pipeline_runs_and_stays_accurate(rng):
     img1 = jnp.asarray(base[6:6 + h, 5:5 + w])   # flow = (+3, +2)
     cfg = DISConfig(coarsest_scale=3, finest_scale=0, grad_descent_iter=12,
                     use_var_ref=False, use_fb_consistency=True)
-    flow = np.asarray(dis_flow_padded(img0, img1, cfg))
+    flow = np.asarray(dis_flow_padded_jit(img0, img1, cfg))
     inner = flow[8:-8, 8:-8]
     np.testing.assert_allclose(np.median(inner[..., 0]), 3.0, atol=0.1)
     np.testing.assert_allclose(np.median(inner[..., 1]), 2.0, atol=0.1)

@@ -5,13 +5,14 @@ single level (CPU jit of a full 4-scale var-ref pipeline takes minutes).
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from flowonthego_tpu.config import DISConfig
 from flowonthego_tpu.ops.channels import (prepare_input, to_grayscale,
                                           to_gradient_magnitude)
 from flowonthego_tpu.ops.variational import variational_refine
-from flowonthego_tpu.models.dis_flow import dis_flow_padded
+from flowonthego_tpu.models.dis_flow import dis_flow_padded_jit
 from flowonthego_tpu.models.stereo import stereo_disparity_padded
 
 
@@ -32,7 +33,7 @@ def test_grayscale_pipeline_recovers_translation(rng):
     assert g0.shape == (h, w, 1)
     cfg = DISConfig(coarsest_scale=3, finest_scale=1, grad_descent_iter=12,
                     use_var_ref=False)
-    flow = np.asarray(dis_flow_padded(g0, g1, cfg)) * 2.0  # values at fs=1
+    flow = np.asarray(dis_flow_padded_jit(g0, g1, cfg)) * 2.0  # values at fs=1
     inner = flow[6:-6, 6:-6]
     np.testing.assert_allclose(np.median(inner[..., 0]), 3.0, atol=0.2)
     np.testing.assert_allclose(np.median(inner[..., 1]), 2.0, atol=0.2)
@@ -50,8 +51,9 @@ def test_varref_single_channel(rng):
     true = np.zeros((h, w, 2), np.float32)
     true[..., 0] = 1.0
     noisy = true + 0.3 * rng.standard_normal((h, w, 2)).astype(np.float32)
-    refined = np.asarray(variational_refine(jnp.asarray(noisy), im1, im2,
-                                            DISConfig(), level=3))
+    refined = np.asarray(jax.jit(variational_refine,
+                                 static_argnames=("cfg", "level"))(
+        jnp.asarray(noisy), im1, im2, DISConfig(), level=3))
     err_before = np.abs(noisy - true)[4:-4, 4:-4].mean()
     err_after = np.abs(refined - true)[4:-4, 4:-4].mean()
     assert err_after < 0.6 * err_before
@@ -77,7 +79,9 @@ def test_stereo_recovers_horizontal_disparity(rng):
     right = jnp.asarray(base[8:8 + h, 11:11 + w])
     cfg = DISConfig(coarsest_scale=2, finest_scale=0, grad_descent_iter=12,
                     use_var_ref=False)
-    disp = np.asarray(stereo_disparity_padded(left, right, cfg, cam_lr=0))
+    disp = np.asarray(jax.jit(stereo_disparity_padded,
+                              static_argnames=("cfg", "cam_lr"))(
+        left, right, cfg, cam_lr=0))
     med = np.median(disp[8:-8, 8:-8])
     np.testing.assert_allclose(med, -3.0, atol=0.1)
     # sign clamp: disparity never positive for cam_lr=0

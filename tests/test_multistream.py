@@ -90,7 +90,7 @@ def test_chunked_video_matches_per_chunk_streams(rng):
     restarts at its first frame — the documented splice semantics)."""
     mesh = make_mesh(n_data=8, n_space=1)
     from scipy.ndimage import gaussian_filter
-    Tv = 17
+    Tv = 9   # 8 chunks of 1 pair each: splice semantics still exercised
     base = gaussian_filter(
         rng.standard_normal((H + 40, W + 40, 3)).astype(np.float32),
         sigma=(3, 3, 0)) * 120 + 128

@@ -11,7 +11,9 @@ import jax.numpy as jnp
 import pytest
 
 from flowonthego_tpu.config import DISConfig
-from flowonthego_tpu.models.dis_flow import dis_flow_padded, upsample_flow_to_full
+from flowonthego_tpu.models.dis_flow import (dis_flow_padded,
+                                             flow_full_padded,
+                                             upsample_flow_to_full)
 from flowonthego_tpu.parallel import make_mesh
 from flowonthego_tpu.parallel.spatial_fine import (make_fine_spatial_flow,
                                                    sharded_scale_levels,
@@ -43,7 +45,7 @@ def test_displacement_bound_and_level_selection():
     True,
 ])
 def test_fine_sharded_matches_single(rng, use_var_ref):
-    cfg = DISConfig(patch_size=8, patch_stride=0.4, coarsest_scale=3,
+    cfg = DISConfig(patch_size=8, patch_stride=0.4, coarsest_scale=2,
                     finest_scale=1, grad_descent_iter=8,
                     use_var_ref=use_var_ref)
     mesh = make_mesh(n_data=1, n_space=4, devices=jax.devices()[:4])
@@ -58,8 +60,8 @@ def test_fine_sharded_matches_single(rng, use_var_ref):
     sharded = np.asarray(sharded)
     assert int(viol) == 0
 
-    single = dis_flow_padded(jnp.asarray(I0), jnp.asarray(I1), cfg)
-    full = np.asarray(upsample_flow_to_full(single, cfg, H, W))
+    full = np.asarray(flow_full_padded(jnp.asarray(I0), jnp.asarray(I1),
+                                       cfg))
 
     np.testing.assert_allclose(sharded, full, rtol=1e-3, atol=1e-3)
 
@@ -69,7 +71,7 @@ def test_fine_sharded_capability_matrix(rng, mode):
     """fb-consistency / robust costs / res_thresh>0 run sharded and match
     the unsharded pipeline (the reference composes all of these freely,
     kroeger/oflow.cpp:162-296)."""
-    kw = dict(patch_size=8, patch_stride=0.4, coarsest_scale=3,
+    kw = dict(patch_size=8, patch_stride=0.4, coarsest_scale=2,
               finest_scale=1, grad_descent_iter=8, use_var_ref=False)
     if mode == "fb":
         kw["use_fb_consistency"] = True
@@ -93,14 +95,14 @@ def test_fine_sharded_capability_matrix(rng, mode):
     sharded = np.asarray(sharded)
     assert int(viol) == 0
 
-    single = dis_flow_padded(jnp.asarray(I0), jnp.asarray(I1), cfg)
-    full = np.asarray(upsample_flow_to_full(single, cfg, H, W))
+    full = np.asarray(flow_full_padded(jnp.asarray(I0), jnp.asarray(I1),
+                                       cfg))
     np.testing.assert_allclose(sharded, full, rtol=1e-3, atol=1e-3)
 
 
 def test_fine_sharded_fb_with_varref(rng):
     """fb + variational refinement together on the sharded path."""
-    cfg = DISConfig(patch_size=8, patch_stride=0.4, coarsest_scale=3,
+    cfg = DISConfig(patch_size=8, patch_stride=0.4, coarsest_scale=2,
                     finest_scale=1, grad_descent_iter=8, use_var_ref=True,
                     use_fb_consistency=True)
     mesh = make_mesh(n_data=1, n_space=4, devices=jax.devices()[:4])
@@ -114,15 +116,15 @@ def test_fine_sharded_fb_with_varref(rng):
     sharded = np.asarray(sharded)
     assert int(viol) == 0
 
-    single = dis_flow_padded(jnp.asarray(I0), jnp.asarray(I1), cfg)
-    full = np.asarray(upsample_flow_to_full(single, cfg, H, W))
+    full = np.asarray(flow_full_padded(jnp.asarray(I0), jnp.asarray(I1),
+                                       cfg))
     np.testing.assert_allclose(sharded, full, rtol=1e-3, atol=1e-3)
 
 
 def test_halo_large_motion_within_budget(rng):
     """Motion near the halo budget: sharded == unsharded and the runtime
     halo detector reports zero violations (VERDICT round-1 weak #4)."""
-    cfg = DISConfig(patch_size=8, patch_stride=0.4, coarsest_scale=3,
+    cfg = DISConfig(patch_size=8, patch_stride=0.4, coarsest_scale=2,
                     finest_scale=1, grad_descent_iter=8, use_var_ref=True)
     mesh = make_mesh(n_data=1, n_space=4, devices=jax.devices()[:4])
     H, W = 512, 64
@@ -133,8 +135,8 @@ def test_halo_large_motion_within_budget(rng):
     sharded, viol = fn(jnp.asarray(I0), jnp.asarray(I1))
     assert int(viol) == 0
 
-    single = dis_flow_padded(jnp.asarray(I0), jnp.asarray(I1), cfg)
-    full = np.asarray(upsample_flow_to_full(single, cfg, H, W))
+    full = np.asarray(flow_full_padded(jnp.asarray(I0), jnp.asarray(I1),
+                                       cfg))
     np.testing.assert_allclose(np.asarray(sharded), full,
                                rtol=1e-3, atol=1e-3)
 
@@ -144,7 +146,7 @@ def test_halo_exceeded_is_detected(rng, monkeypatch):
     and the runtime detector reports it instead of silently diverging."""
     import flowonthego_tpu.parallel.spatial_fine as sf
     monkeypatch.setattr(sf, "displacement_bound", lambda cfg, sl: 0.0)
-    cfg = DISConfig(patch_size=8, patch_stride=0.4, coarsest_scale=3,
+    cfg = DISConfig(patch_size=8, patch_stride=0.4, coarsest_scale=2,
                     finest_scale=1, grad_descent_iter=8, use_var_ref=False)
     mesh = make_mesh(n_data=1, n_space=4, devices=jax.devices()[:4])
     H, W = 256, 64
@@ -158,7 +160,7 @@ def test_halo_exceeded_is_detected(rng, monkeypatch):
 
 def test_fine_sharded_finest_zero(rng):
     """finest_scale=0: the full-resolution scale itself runs sharded."""
-    cfg = DISConfig(patch_size=8, patch_stride=0.4, coarsest_scale=3,
+    cfg = DISConfig(patch_size=8, patch_stride=0.4, coarsest_scale=2,
                     finest_scale=0, grad_descent_iter=8, use_var_ref=False)
     mesh = make_mesh(n_data=1, n_space=4, devices=jax.devices()[:4])
     H, W = 256, 64
@@ -170,8 +172,9 @@ def test_fine_sharded_finest_zero(rng):
     sharded, viol = fn(jnp.asarray(I0), jnp.asarray(I1))
     sharded = np.asarray(sharded)
     assert int(viol) == 0
-    single = np.asarray(dis_flow_padded(jnp.asarray(I0), jnp.asarray(I1),
-                                        cfg))
+    # fs=0: flow_full_padded's upsample is the identity
+    single = np.asarray(flow_full_padded(jnp.asarray(I0), jnp.asarray(I1),
+                                         cfg))
     np.testing.assert_allclose(sharded, single, rtol=1e-3, atol=1e-3)
 
 
@@ -182,14 +185,14 @@ def test_halo_exceeded_recovers_to_unsharded(rng):
     caller gets the unsharded result, never silently clamped flow."""
     from flowonthego_tpu.parallel.spatial_fine import \
         make_fine_spatial_flow_recovering
-    cfg = DISConfig(patch_size=8, patch_stride=0.4, coarsest_scale=3,
+    cfg = DISConfig(patch_size=8, patch_stride=0.4, coarsest_scale=2,
                     finest_scale=1, grad_descent_iter=8, use_var_ref=False)
     mesh = make_mesh(n_data=1, n_space=4, devices=jax.devices()[:4])
     H, W = 256, 64
     I0 = _smooth(rng, H, W)
     I1 = np.roll(I0, 6, axis=0)
 
-    fn = make_fine_spatial_flow_recovering(mesh, cfg, H, W, halo_slack=-14)
+    fn = make_fine_spatial_flow_recovering(mesh, cfg, H, W, halo_slack=-6)
     flow, viol = fn(jnp.asarray(I0), jnp.asarray(I1))
     assert int(viol) > 0, "test must actually starve the halo"
 

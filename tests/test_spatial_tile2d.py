@@ -14,8 +14,7 @@ import pytest
 from scipy.ndimage import gaussian_filter
 
 from flowonthego_tpu.config import DISConfig
-from flowonthego_tpu.models.dis_flow import (dis_flow_padded,
-                                             upsample_flow_to_full)
+from flowonthego_tpu.models.dis_flow import flow_full_padded
 from flowonthego_tpu.parallel.spatial_tile2d import (make_tile2d_flow,
                                                      make_tile_mesh,
                                                      tiled2d_scale_levels)
@@ -40,8 +39,7 @@ def _check(mesh_shape, cfg, H, W, rng):
     sharded, viol = fn(A, B)
     sharded = np.asarray(jax.block_until_ready(sharded))
     assert int(viol) == 0, f"halo budget exceeded for {int(viol)} patches"
-    ref = np.asarray(upsample_flow_to_full(
-        dis_flow_padded(A, B, cfg), cfg, H, W))
+    ref = np.asarray(flow_full_padded(A, B, cfg))
     d = np.abs(sharded - ref)
     q50 = float(np.quantile(d, 0.5))
     q95 = float(np.quantile(d, 0.95))
@@ -59,14 +57,14 @@ def _check(mesh_shape, cfg, H, W, rng):
     # regression
 ])
 def test_tile2d_matches_unsharded(mesh_shape, rng):
-    cfg = DISConfig(coarsest_scale=3, finest_scale=1, grad_descent_iter=8,
+    cfg = DISConfig(coarsest_scale=2, finest_scale=1, grad_descent_iter=8,
                     use_var_ref=True)
     n_r, n_c = mesh_shape
     _check(mesh_shape, cfg, H=80 * n_r, W=80 * n_c, rng=rng)
 
 
 def test_tile2d_without_varref(rng):
-    cfg = DISConfig(coarsest_scale=3, finest_scale=1, grad_descent_iter=8,
+    cfg = DISConfig(coarsest_scale=2, finest_scale=1, grad_descent_iter=8,
                     use_var_ref=False)
     _check((2, 4), cfg, H=48 * 2, W=48 * 4, rng=rng)
 
@@ -75,7 +73,7 @@ def test_tile2d_fb_consistency(rng):
     """usefbcon (kroeger/oflow.cpp:162-170) fully tiled: the backward
     grid's reversed-flow merge is a 2-D tile scatter folded into all
     four neighbors (_fb_merge_tile)."""
-    cfg = DISConfig(coarsest_scale=3, finest_scale=1, grad_descent_iter=8,
+    cfg = DISConfig(coarsest_scale=2, finest_scale=1, grad_descent_iter=8,
                     use_var_ref=True, use_fb_consistency=True)
     _check((2, 4), cfg, H=80 * 2, W=80 * 4, rng=rng)
 
@@ -85,7 +83,7 @@ def test_tile2d_fb_changes_result(rng):
     """fb merge must actually contribute (guards against a silently
     dropped backward accumulator)."""
     H, W = 80 * 4, 80 * 8
-    cfg = DISConfig(coarsest_scale=3, finest_scale=1, grad_descent_iter=8,
+    cfg = DISConfig(coarsest_scale=2, finest_scale=1, grad_descent_iter=8,
                     use_var_ref=False)
     cfg_fb = dataclasses.replace(cfg, use_fb_consistency=True)
     mesh = make_tile_mesh(2, 4, devices=jax.devices()[:8])

@@ -16,6 +16,23 @@ import pytest
 from flowonthego_tpu.config import DISConfig
 from flowonthego_tpu.models.dis_flow import (dis_flow_padded,
                                              upsample_flow_to_full)
+
+# one traced program per (init None / init array) x full_res instead of
+# hundreds of eager op dispatches per pair (see flow_full_padded)
+import functools as _ft
+
+
+@_ft.partial(jax.jit, static_argnames=("cfg", "full_res"))
+def _pair_step(I0, I1, cfg, init, full_res):
+    flow = dis_flow_padded(I0, I1, cfg, init_flow=init)
+    out = (upsample_flow_to_full(flow, cfg, I0.shape[0], I0.shape[1])
+           if full_res else flow)
+    init_h = I0.shape[0] >> (cfg.coarsest_scale + 1)
+    init_w = I0.shape[1] >> (cfg.coarsest_scale + 1)
+    nxt = jax.image.resize(
+        flow / (2.0 ** (cfg.coarsest_scale + 1 - cfg.finest_scale)),
+        (init_h, init_w, 2), method="linear")
+    return out, nxt
 from flowonthego_tpu.parallel.frame_parallel import stream_flow
 
 CFG = DISConfig(coarsest_scale=3, finest_scale=1, grad_descent_iter=4,
@@ -44,14 +61,7 @@ def _manual_chain(frames, cfg, full_res):
     for I0, I1 in zip(frames[:-1], frames[1:]):
         I0 = jnp.asarray(I0, jnp.float32)
         I1 = jnp.asarray(I1, jnp.float32)
-        flow = dis_flow_padded(I0, I1, cfg, init_flow=init)
-        out = (upsample_flow_to_full(flow, cfg, I0.shape[0], I0.shape[1])
-               if full_res else flow)
-        init_h = I0.shape[0] >> (cfg.coarsest_scale + 1)
-        init_w = I0.shape[1] >> (cfg.coarsest_scale + 1)
-        init = jax.image.resize(
-            flow / (2.0 ** (cfg.coarsest_scale + 1 - cfg.finest_scale)),
-            (init_h, init_w, 2), method="linear")
+        out, init = _pair_step(I0, I1, cfg, init, full_res)
         outs.append(np.asarray(out))
     return outs
 
