@@ -114,17 +114,25 @@ def overlap_add_canvas(contrib: jax.Array, ps: int, st: int) -> jax.Array:
     c = jnp.pad(contrib, ((0, 0), (0, 0), (0, R - ps), (0, R - ps),
                           (0, 0)))
     c = c.reshape(n_h, n_w, r, st, r, st, F)     # py=(m,pr), px=(q,qc)
+    # Shifted adds as pad+add, NOT .at[slice].add: the latter lowers to
+    # one dynamic-update-slice kernel per shift (a full read-modify-write
+    # of the accumulator each, ~0.06 ms/frame across the 4K scales);
+    # pad+add chains fuse into a single XLA loop.  Same summation order.
     Yp = (n_h + r - 1) * st
-    rows = jnp.zeros((Yp, n_w, r, st, F), contrib.dtype)
+    rows = None
     for m in range(r):
         part = c[:, :, m].transpose(0, 2, 1, 3, 4, 5).reshape(
             n_h * st, n_w, r, st, F)
-        rows = rows.at[m * st:m * st + n_h * st].add(part)
+        sh = jnp.pad(part, ((m * st, Yp - m * st - n_h * st),
+                            (0, 0), (0, 0), (0, 0), (0, 0)))
+        rows = sh if rows is None else rows + sh
     Xp = (n_w + r - 1) * st
-    cols = jnp.zeros((Yp, Xp, F), contrib.dtype)
+    cols = None
     for q in range(r):
         part = rows[:, :, q].reshape(Yp, n_w * st, F)
-        cols = cols.at[:, q * st:q * st + n_w * st].add(part)
+        sh = jnp.pad(part, ((0, 0), (q * st, Xp - q * st - n_w * st),
+                            (0, 0)))
+        cols = sh if cols is None else cols + sh
     return cols
 
 
